@@ -1,0 +1,111 @@
+"""Canonical NeRF MLP as pure functions over a parameter pytree.
+
+Same architecture as the reference (models/nerf.py:5-102): a D=8, W=256 density
+trunk over zero-padded positional-encoded xyz with a skip connection, a sigma
+head, and an rgb branch conditioned on an extra feature (view direction, frame
+index embedding, or nothing).
+
+TPU-native notes:
+  - A pure ``apply`` over a ``(B, C)`` megabatch — callers flatten
+    (rays x samples) so every layer is one large MXU matmul.
+  - The rgb-branch / sigma-branch split is explicit in the param tree
+    (``trunk``/``sigma`` vs ``final``/``extra``/``rgb``), which makes the
+    reference's cross-stage "load sigma branch only" surgery
+    (trainer/trainer_moco_flow.py:54-62) a trivial subtree copy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .mlp import init_linear, linear, linear_relu
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Static architecture config (hashable: safe as a jit static arg)."""
+    depth: int = 8
+    width: int = 256
+    in_channels_xyz: int = 63
+    skips: tuple = (4,)
+    extra_feat_type: str = "none"  # none | ind | dir  (latent_code: unsupported, as in ref)
+    extra_feat_dim: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NeRFConfig":
+        return cls(
+            depth=d.get("D", 8),
+            width=d.get("W", 256),
+            in_channels_xyz=d.get("in_channels_xyz", 63),
+            skips=tuple(d.get("skips", (4,))),
+            extra_feat_type=d.get("extra_feat_type", "none"),
+            extra_feat_dim=d.get("extra_feat_dim", 0),
+        )
+
+
+def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
+    """Parameter pytree for the NeRF MLP."""
+    if cfg.extra_feat_type not in ("none", "ind", "dir"):
+        raise ValueError(f"extra_feat_type {cfg.extra_feat_type} not supported")
+    keys = jax.random.split(key, cfg.depth + 4)
+    trunk = []
+    for i in range(cfg.depth):
+        in_dim = cfg.in_channels_xyz if i == 0 else cfg.width
+        if i in cfg.skips:
+            in_dim = cfg.width + cfg.in_channels_xyz
+        trunk.append(init_linear(keys[i], in_dim, cfg.width))
+    extra_in = cfg.width + (cfg.extra_feat_dim if cfg.extra_feat_type != "none" else 0)
+    return {
+        "trunk": trunk,
+        "sigma": init_linear(keys[cfg.depth], cfg.width, 1),
+        "final": init_linear(keys[cfg.depth + 1], cfg.width, cfg.width),
+        "extra": init_linear(keys[cfg.depth + 2], extra_in, cfg.width // 2),
+        "rgb": init_linear(keys[cfg.depth + 3], cfg.width // 2, 3),
+    }
+
+
+def sigma_branch_params(params: dict) -> dict:
+    """The subtree transferred between stages ('xyz'/'sigma' keys in the
+    reference filter, trainer_moco_flow.py:54-57: trunk, sigma head, and
+    xyz_encoding_final — the rgb/extra branch is re-initialized)."""
+    return {"trunk": params["trunk"], "sigma": params["sigma"],
+            "final": params["final"]}
+
+
+def nerf_trunk(params: dict, x_emb: jnp.ndarray, cfg: NeRFConfig,
+               compute_dtype=None) -> jnp.ndarray:
+    h = x_emb
+    for i in range(cfg.depth):
+        if i in cfg.skips:
+            h = jnp.concatenate([x_emb, h], axis=-1)
+        h = linear_relu(params["trunk"][i], h, compute_dtype)
+    return h
+
+
+def nerf_sigma(params: dict, x_emb: jnp.ndarray, cfg: NeRFConfig,
+               compute_dtype=None) -> jnp.ndarray:
+    """Density-only path (``sigma_only=True`` in the reference), (B, 1)."""
+    h = nerf_trunk(params, x_emb, cfg, compute_dtype)
+    return linear(params["sigma"], h, compute_dtype)
+
+
+def nerf_apply(params: dict, x_emb: jnp.ndarray, extra_emb: jnp.ndarray | None,
+               cfg: NeRFConfig, compute_dtype=None) -> jnp.ndarray:
+    """Full forward: (B, in_channels_xyz) [+ (B, extra_feat_dim)] -> (B, 4) rgb+sigma.
+
+    ``x_emb`` must already be zero-padded to ``cfg.in_channels_xyz`` (the
+    annealed PE may be narrower; padding keeps shapes static — reference
+    models/rendering.py:127-129).
+    """
+    h = nerf_trunk(params, x_emb, cfg, compute_dtype)
+    sigma = linear(params["sigma"], h, compute_dtype)
+    hf = linear(params["final"], h, compute_dtype)
+    if cfg.extra_feat_type != "none":
+        assert extra_emb is not None
+        hf = jnp.concatenate([hf, extra_emb.astype(hf.dtype)], axis=-1)
+    he = jax.nn.relu(linear(params["extra"], hf, compute_dtype))
+    rgb = jax.nn.sigmoid(linear(params["rgb"], he, compute_dtype))
+    return jnp.concatenate([rgb, sigma], axis=-1)

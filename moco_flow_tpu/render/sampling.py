@@ -1,0 +1,81 @@
+"""Ray depth sampling: stratified coarse samples and inverse-CDF importance
+sampling.
+
+Functional equivalents of the reference's ``sample_pdf`` + the stratified
+sampling block of ``render_rays`` (models/rendering.py:5-46, 244-260), built on
+XLA-native ``jnp.searchsorted`` instead of the ATen kernel, with explicit PRNG
+keys instead of global torch RNG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_zvals(key: jax.Array | None, near: jnp.ndarray, far: jnp.ndarray,
+                     n_samples: int, use_disp: bool = False,
+                     perturb: float = 0.0) -> jnp.ndarray:
+    """Coarse depth values along each ray.
+
+    Args:
+      key: PRNG key for jitter (required if ``perturb > 0``).
+      near, far: ``(N, 1)`` depth bounds.
+      n_samples: samples per ray (static).
+      use_disp: sample linearly in disparity instead of depth.
+      perturb: jitter factor in [0, 1].
+
+    Returns:
+      ``(N, n_samples)`` depths. Matches models/rendering.py:245-260.
+    """
+    z_steps = jnp.linspace(0.0, 1.0, n_samples)  # (S,)
+    if not use_disp:
+        z_vals = near * (1.0 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+    if perturb > 0:
+        mids = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
+        u = perturb * jax.random.uniform(key, z_vals.shape)
+        z_vals = lower + (upper - lower) * u
+    return z_vals
+
+
+def sample_pdf(key: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,
+               n_importance: int, det: bool = False,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """Draw ``n_importance`` samples from the piecewise-constant pdf over ``bins``.
+
+    Args:
+      bins: ``(N, B+1)`` bin edges (coarse interval midpoints).
+      weights: ``(N, B)`` unnormalized weights.
+      det: evenly-spaced samples instead of random (test time).
+
+    Matches models/rendering.py:5-46 exactly (same eps guard, same
+    right-searchsorted, same denom-zero fallback).
+    """
+    n_rays, n_bins = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, B+1)
+
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance),
+                             (n_rays, n_importance))
+    else:
+        u = jax.random.uniform(key, (n_rays, n_importance))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n_bins)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=1)
+    bins_below = jnp.take_along_axis(bins, below, axis=1)
+    bins_above = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)

@@ -1,0 +1,353 @@
+"""Megabatch volume renderer.
+
+TPU-native re-design of the reference render stack (models/rendering.py:49-375):
+one pure, fully-jittable function over an ``(N_rays, ...)`` megabatch —
+stratified sampling, backward/forward NoF warps, coarse NeRF, inverse-CDF fine
+sampling, fine NeRF, alpha compositing, and motion-consensus disparities. No
+host-side chunk loop (the reference chunks at 32768 rays in Python,
+trainer_moco_flow.py:196-224); XLA tiles the megabatch onto the MXU, and the
+optional fused Pallas MLP path keeps activations in VMEM across layers.
+
+Static-shape substitutions vs the reference (documented in SURVEY.md §7):
+  - the alpha>=0.01 consensus masks use masked means instead of boolean gathers
+    (same value; models/rendering.py:306-314).
+  - consensus disparities are returned as masked-mean *scalars* (the trainer
+    immediately averages them, trainer_moco_flow.py:319-328).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.embedding import posenc
+from ..nn.losses import masked_mean
+from ..nn.nerf import NeRFConfig, nerf_apply, nerf_sigma
+from ..nn.nof import NoFConfig, nof_apply
+from .sampling import sample_pdf, stratified_zvals
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingSpec:
+    """Static positional-encoding spec (the annealing weights are dynamic)."""
+    n_freqs: int
+    logscale: bool = True
+    in_channels: int = 3
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "EmbeddingSpec | None":
+        if d is None:
+            return None
+        return cls(n_freqs=d.get("N_freqs", 0), logscale=d.get("logscale", True),
+                   in_channels=d.get("in_channels", 3))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelStatics:
+    """Hashable bundle of every static model config (safe jit static arg)."""
+    coarse: NeRFConfig
+    fine: NeRFConfig | None = None
+    nof: NoFConfig | None = None
+    nerf_xyz: EmbeddingSpec = EmbeddingSpec(10)
+    nerf_ind: EmbeddingSpec | None = None
+    nerf_dir: EmbeddingSpec | None = None
+    nof_xyz: EmbeddingSpec | None = None
+    nof_ind: EmbeddingSpec | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render-time options (mirrors render_rays kwargs,
+    models/rendering.py:195-210 + the model block of the YAML configs)."""
+    n_samples: int = 64
+    n_importance: int = 0
+    use_disp: bool = False
+    perturb: float = 0.0
+    noise_std: float = 0.0
+    activation: str = "relu"  # 'relu' | 'softplus'
+    use_nof: bool = False
+    chain_local: bool = False
+    chain_global: bool = False
+    test_time: bool = False
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    mlp_impl: str = "xla"  # 'xla' | 'pallas'
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+def embed_padded(x: jnp.ndarray, spec: EmbeddingSpec, target_dim: int,
+                 weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """posenc + zero-pad to the model's static input width.
+
+    The reference zero-pads embeddings into the model's ``in_channels_xyz`` /
+    ``extra_feat_dim`` so the annealed (possibly narrower) PE keeps a static
+    shape (models/rendering.py:127-129,134-142). Here the pad is a static
+    concat, free after XLA fusion.
+    """
+    emb = posenc(x, spec.n_freqs, spec.logscale, weights)
+    pad = target_dim - emb.shape[-1]
+    if pad < 0:
+        raise ValueError(
+            f"embedding width {emb.shape[-1]} exceeds target {target_dim}")
+    if pad:
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((*emb.shape[:-1], pad), emb.dtype)], axis=-1)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# MLP evaluation funnels — the single place the fused Pallas path plugs in.
+# ---------------------------------------------------------------------------
+
+def _eval_nerf(params: dict, cfg: NeRFConfig, x_emb: jnp.ndarray,
+               extra_emb: jnp.ndarray | None, sigma_only: bool,
+               rcfg: RenderConfig) -> jnp.ndarray:
+    if rcfg.mlp_impl == "pallas":
+        from ..ops.fused_mlp import nerf_fused
+        return nerf_fused(params, cfg, x_emb, extra_emb, sigma_only,
+                          compute_dtype=rcfg.dtype)
+    if sigma_only:
+        return nerf_sigma(params, x_emb, cfg, rcfg.dtype)
+    return nerf_apply(params, x_emb, extra_emb, cfg, rcfg.dtype)
+
+
+def _eval_nof(params: dict, cfg: NoFConfig, inputs: jnp.ndarray,
+              xyz: jnp.ndarray, rcfg: RenderConfig) -> jnp.ndarray:
+    if rcfg.mlp_impl == "pallas":
+        from ..ops.fused_mlp import nof_fused
+        return nof_fused(params, cfg, inputs, xyz, compute_dtype=rcfg.dtype)
+    return nof_apply(params, inputs, xyz, cfg, rcfg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# NoF warp
+# ---------------------------------------------------------------------------
+
+def nof_warp(params: dict, statics: ModelStatics, anneal: dict,
+             xyz: jnp.ndarray, ind: jnp.ndarray, rcfg: RenderConfig) -> jnp.ndarray:
+    """Warp sampled points through a NoF MLP (ref models/rendering.py:49-83).
+
+    Args:
+      xyz: ``(N, S, 3)`` sampled positions.
+      ind: ``(N, 1)`` normalized frame index per ray.
+
+    Returns: ``(N, S, 3)`` warped positions.
+    """
+    cfg = statics.nof
+    n, s = xyz.shape[0], xyz.shape[1]
+    flat = xyz.reshape(-1, 3)
+    xyz_emb = embed_padded(flat, statics.nof_xyz, cfg.in_channels_xyz,
+                           anneal.get("nof_xyz"))
+    ind_emb = embed_padded(ind, statics.nof_ind, cfg.extra_feat_dim)  # (N, E)
+    ind_emb = jnp.broadcast_to(ind_emb[:, None, :], (n, s, cfg.extra_feat_dim))
+    inputs = jnp.concatenate([xyz_emb, ind_emb.reshape(-1, cfg.extra_feat_dim)],
+                             axis=-1)
+    out = _eval_nof(params, cfg, inputs, flat, rcfg)
+    return out.reshape(n, s, 3)
+
+
+# ---------------------------------------------------------------------------
+# NeRF evaluation + compositing
+# ---------------------------------------------------------------------------
+
+def _extra_embedding(nerf_cfg: NeRFConfig, statics: ModelStatics,
+                     ind: jnp.ndarray, direction: jnp.ndarray,
+                     n: int, s: int) -> jnp.ndarray | None:
+    """Per-ray extra feature (frame-index or view-dir PE), broadcast to samples
+    (ref models/rendering.py:132-142)."""
+    if nerf_cfg.extra_feat_type == "ind":
+        e = embed_padded(ind, statics.nerf_ind, nerf_cfg.extra_feat_dim)
+    elif nerf_cfg.extra_feat_type == "dir":
+        e = embed_padded(direction, statics.nerf_dir, nerf_cfg.extra_feat_dim)
+    else:
+        return None
+    e = jnp.broadcast_to(e[:, None, :], (n, s, nerf_cfg.extra_feat_dim))
+    return e.reshape(-1, nerf_cfg.extra_feat_dim)
+
+
+def composite(sigmas: jnp.ndarray, z_vals: jnp.ndarray, dir_norm: jnp.ndarray,
+              noise: jnp.ndarray | None, activation: str):
+    """sigma -> (alphas, weights) via the NeRF quadrature
+    (ref models/rendering.py:158-181)."""
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
+    deltas = deltas * dir_norm  # account for non-unit ray directions
+    if noise is not None:
+        sigmas = sigmas + noise
+    act = jax.nn.relu if activation == "relu" else jax.nn.softplus
+    alphas = 1.0 - jnp.exp(-deltas * act(sigmas))
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1)
+    weights = alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]
+    return alphas, weights
+
+
+def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
+                   anneal: dict, xyz: jnp.ndarray, ind: jnp.ndarray,
+                   direction: jnp.ndarray, z_vals: jnp.ndarray,
+                   key: jax.Array | None, rcfg: RenderConfig,
+                   background: jnp.ndarray | None = None,
+                   weights_only: bool = False):
+    """Evaluate a NeRF on all samples of a ray batch and composite
+    (ref models/rendering.py:86-192).
+
+    Returns ``(rgb, depth, weights, alphas)``; rgb/depth are ``None`` when
+    ``weights_only``.
+    """
+    n, s = xyz.shape[0], xyz.shape[1]
+    flat = xyz.reshape(-1, 3)
+    x_emb = embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
+                         anneal.get("nerf_xyz"))
+    dir_norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)  # (N, 1)
+
+    noise = None
+    if rcfg.noise_std > 0 and not rcfg.test_time:
+        noise = jax.random.normal(key, (n, s)) * rcfg.noise_std
+
+    if weights_only:
+        sigmas = _eval_nerf(params, nerf_cfg, x_emb, None, True, rcfg)
+        sigmas = sigmas.reshape(n, s)
+        alphas, weights = composite(sigmas, z_vals, dir_norm, noise,
+                                    rcfg.activation)
+        return None, None, weights, alphas
+
+    extra = _extra_embedding(nerf_cfg, statics, ind, direction, n, s)
+    out = _eval_nerf(params, nerf_cfg, x_emb, extra, False, rcfg)
+    out = out.reshape(n, s, 4)
+    rgbs, sigmas = out[..., :3], out[..., 3]
+    alphas, weights = composite(sigmas, z_vals, dir_norm, noise, rcfg.activation)
+    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    if background is not None:
+        rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+    return rgb, depth, weights, alphas
+
+
+# ---------------------------------------------------------------------------
+# Full renderer
+# ---------------------------------------------------------------------------
+
+def _consensus(disp_src: jnp.ndarray, disp_rec: jnp.ndarray,
+               alphas: jnp.ndarray) -> jnp.ndarray:
+    """Masked-mean consensus disparity scalar (ref models/rendering.py:304-314:
+    per-sample mean |src - recon| over xyz, masked by alpha>=0.01, then meaned
+    by the trainer)."""
+    per_sample = jnp.mean(jnp.abs(disp_src - disp_rec), axis=-1)  # (N, S)
+    return masked_mean(per_sample, alphas >= 0.01)
+
+
+def render_rays(params: dict, statics: ModelStatics, anneal: dict,
+                rays: jnp.ndarray, background: jnp.ndarray | None,
+                key: jax.Array, rcfg: RenderConfig) -> dict:
+    """Render a megabatch of rays.
+
+    Args:
+      params: ``{'coarse_NeRF', 'fine_NeRF'?, 'bw_NoF'?, 'fw_NoF'?}``.
+      statics: static model configs.
+      anneal: ``{'nerf_xyz': (K,)|None, 'nof_xyz': (K,)|None}`` PE annealing
+        weight arrays (dynamic — no recompile as they change).
+      rays: ``(N, >=9)`` packed ``[o(3), d(3), near, far, ind, chained_ind?]``
+        (ref ray layout, models/rendering.py:236-242 — 10-wide with the
+        chain-global index, trainer_moco_flow.py:308-312).
+      background: ``(N, 3)`` per-ray background or None.
+      key: PRNG key.
+      rcfg: static render options.
+
+    Returns a dict of per-ray arrays ('rgb_coarse', 'depth_coarse',
+    'opacity_coarse', 'rgb_fine', ...) and masked-mean consensus scalars
+    ('nof_local_disp_coarse', 'nof_global_disp_coarse', ..._fine).
+    """
+    k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    img_ind = rays[:, 8:9]
+    chained_ind = rays[:, 9:10] if (rcfg.use_nof and rcfg.chain_global) else None
+
+    z_vals = stratified_zvals(k_perturb, near, far, rcfg.n_samples,
+                              rcfg.use_disp, rcfg.perturb)
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    result: dict = {}
+    use_nof = rcfg.use_nof and statics.nof is not None
+
+    def warp_stack(xyz_sampled):
+        """bw warp (+ local/global chains) for one sample set
+        (ref models/rendering.py:270-282,335-344)."""
+        out = {}
+        cano = nof_warp(params["bw_NoF"], statics, anneal, xyz_sampled,
+                        img_ind, rcfg)
+        out["cano"] = cano
+        if rcfg.chain_local and not rcfg.test_time:
+            out["recon"] = nof_warp(params["fw_NoF"], statics, anneal, cano,
+                                    img_ind, rcfg)
+        if rcfg.chain_global and not rcfg.test_time:
+            chained = nof_warp(params["fw_NoF"], statics, anneal, cano,
+                               chained_ind, rcfg)
+            chained_cano = nof_warp(params["bw_NoF"], statics, anneal, chained,
+                                    chained_ind, rcfg)
+            out["chain_recon"] = nof_warp(params["fw_NoF"], statics, anneal,
+                                          chained_cano, img_ind, rcfg)
+        return out
+
+    if use_nof:
+        warped_c = warp_stack(xyz_coarse)
+        coarse_input = warped_c["cano"]
+    else:
+        coarse_input = xyz_coarse
+
+    # coarse pass: sigma-only at test time when a fine pass follows
+    # (ref models/rendering.py:290-302)
+    coarse_weights_only = rcfg.n_importance > 0 and rcfg.test_time
+    rgb_c, depth_c, weights_c, alphas_c = nerf_inference(
+        params["coarse_NeRF"], statics.coarse, statics, anneal, coarse_input,
+        img_ind, rays_d, z_vals, k_noise_c, rcfg, background=background,
+        weights_only=coarse_weights_only)
+    result["opacity_coarse"] = jnp.sum(weights_c, axis=1)
+    if not coarse_weights_only:
+        result["rgb_coarse"] = rgb_c
+        result["depth_coarse"] = depth_c
+
+    if use_nof and not rcfg.test_time:
+        if rcfg.chain_local:
+            result["nof_local_disp_coarse"] = _consensus(
+                xyz_coarse, warped_c["recon"], alphas_c)
+        if rcfg.chain_global:
+            result["nof_global_disp_coarse"] = _consensus(
+                xyz_coarse, warped_c["chain_recon"], alphas_c)
+
+    if rcfg.n_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(k_pdf, z_mid, weights_c[:, 1:-1],
+                            rcfg.n_importance, det=(rcfg.perturb == 0))
+        z_fine = jax.lax.stop_gradient(z_fine)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+
+        if use_nof:
+            warped_f = warp_stack(xyz_fine)
+            fine_input = warped_f["cano"]
+        else:
+            fine_input = xyz_fine
+
+        rgb_f, depth_f, weights_f, alphas_f = nerf_inference(
+            params["fine_NeRF"], statics.fine or statics.coarse, statics,
+            anneal, fine_input, img_ind, rays_d, z_all, k_noise_f, rcfg,
+            background=background, weights_only=False)
+        result["rgb_fine"] = rgb_f
+        result["depth_fine"] = depth_f
+        result["opacity_fine"] = jnp.sum(weights_f, axis=1)
+
+        if use_nof and not rcfg.test_time:
+            if rcfg.chain_local:
+                result["nof_local_disp_fine"] = _consensus(
+                    xyz_fine, warped_f["recon"], alphas_f)
+            if rcfg.chain_global:
+                result["nof_global_disp_fine"] = _consensus(
+                    xyz_fine, warped_f["chain_recon"], alphas_f)
+
+    return result
