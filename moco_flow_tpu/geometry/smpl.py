@@ -34,7 +34,9 @@ NUM_JOINTS = 24
 
 @dataclasses.dataclass
 class SMPLData:
-    """Device-resident SMPL model constants."""
+    """Device-resident SMPL model constants. Not a pytree: the FK functions
+    close over it, so jit captures the arrays as constants (they never change
+    during training)."""
     v_template: jnp.ndarray   # (V, 3)
     shapedirs: jnp.ndarray    # (V, 3, 10)
     posedirs: jnp.ndarray     # (V, 3, 207)
