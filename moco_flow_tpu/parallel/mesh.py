@@ -1,0 +1,62 @@
+"""Data-parallel training over a JAX device mesh.
+
+Replaces the reference's torch DDP/NCCL stack (trainer/base.py:94-106, 251-256)
+with the TPU-native recipe: a 1-D ``Mesh`` over the 'data' axis, ``shard_map``
+around the whole train step, per-chip PRNG folding, and a ``psum``-mean of
+gradients over ICI. Parameters and optimizer state stay replicated (the models
+total ~1.5 M params — sharding them would only add collective latency,
+SURVEY.md §2.2); what is sharded is the *work*: each chip draws its own
+``N_rand`` rays (so the global batch is ``N_rand x n_chips``, matching the
+reference's per-GPU ray count semantics, c2f.yaml:34 + README.md:139-145).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def pmean_if(axis_name: str | None, tree):
+    """Gradient/metric reduction that degrades to identity single-chip."""
+    if axis_name is None:
+        return tree
+    return jax.lax.pmean(tree, axis_name)
+
+
+def fold_key_if(axis_name: str | None, key: jax.Array) -> jax.Array:
+    """Distinct per-chip PRNG streams from one replicated key."""
+    if axis_name is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def dp_jit(make_step: Callable[[str | None], Callable], mesh: Mesh | None,
+           donate_argnums=(0, 1)):
+    """Compile a train step for a mesh (or single device).
+
+    ``make_step(axis_name)`` must return a pure
+    ``step(params, opt_state, *args) -> (params, opt_state, metrics)`` that
+    internally calls :func:`pmean_if`/:func:`fold_key_if` with ``axis_name``.
+    All inputs/outputs are replicated (P() specs): sharding happens *inside*
+    the step via the folded PRNG streams, so no array ever crosses chips
+    except the gradient psum.
+    """
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.jit(make_step(None), donate_argnums=donate_argnums)
+    step = shard_map(make_step(DATA_AXIS), mesh=mesh,
+                     in_specs=P(), out_specs=P())
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -1,0 +1,236 @@
+"""Trainer base: lifecycle, checkpoint IO, chunked full-image rendering.
+
+Host-side orchestration equivalent of the reference ``trainer/base.py`` —
+but where the reference base class owns mutable nn.Modules, DDP wrappers and
+torch optimizers, this one owns *pytrees* (params / optimizer state) and
+compiled step functions; all mutation is functional. Multi-chip data
+parallelism comes from ``parallel.dp_jit`` (shard_map + psum) instead of
+DDP/NCCL (ref base.py:94-106, 251-256).
+"""
+
+from __future__ import annotations
+
+import functools
+import os.path as osp
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import make_mesh
+from ..render.volume import RenderConfig, render_rays
+from ..utils.clock import TrainClock
+from ..utils.config import Config
+from ..utils.logging import WorkLogger
+from .checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    merge_into,
+    save_checkpoint,
+)
+
+
+class BaseTrainer:
+    """Shared services: logging, clock, checkpointing, chunked rendering."""
+
+    def __init__(self, config: Config, mesh=None, smpl_data=None):
+        self.config = config
+        self.mode = config.mode
+        self.smpl_data = smpl_data
+        self.mesh = mesh if mesh is not None else (
+            make_mesh() if len(jax.devices()) > 1 else None)
+        self.world_size = (int(np.prod(self.mesh.devices.shape))
+                           if self.mesh is not None else 1)
+        self.clock = TrainClock()
+        self.logger = None
+        self.params = {}
+        self.opt_state = None
+        self.extra = {}
+        self.losses = {}
+        self._render_fns = {}
+
+        if self.mode == "train":
+            self.logger = WorkLogger(config.log_dir)
+            self.record_str(f"world_size={self.world_size} "
+                            f"devices={jax.devices()}")
+            self.prepare_dataloader(config["dataloader"])
+            self.build_model(config["model"])
+            self.configure_optimizers(config["optimizer"],
+                                      config.get("scheduler"))
+            self.build_steps()
+
+    # -- subclass hooks ---------------------------------------------------
+
+    def prepare_dataloader(self, data_config):
+        raise NotImplementedError
+
+    def build_model(self, model_config):
+        raise NotImplementedError
+
+    def configure_optimizers(self, optimizer_config, scheduler_config):
+        raise NotImplementedError
+
+    def build_steps(self):
+        raise NotImplementedError
+
+    def train_step(self):
+        raise NotImplementedError
+
+    def val_step(self):
+        raise NotImplementedError
+
+    def visualize_batch(self, save_path=None):
+        pass
+
+    # -- logging ----------------------------------------------------------
+
+    def record_str(self, s: str):
+        print(s)
+        if self.logger is not None:
+            self.logger.put_line(
+                f"[Epoch/Step : {self.clock.epoch}/{self.clock.step}]: {s}")
+
+    def record_scalars(self, values: dict, mode: str = "train"):
+        if self.logger is not None:
+            self.logger.scalars(mode, values, self.clock.step)
+
+    # -- train/val entry points (ref base.py:231-249) ---------------------
+
+    def train_func(self):
+        metrics = self.train_step()
+        if self.clock.step % self.config["trainer"].get("log_freq", 100) == 0:
+            self.record_scalars(metrics, "train")
+        self.losses = metrics
+        return metrics
+
+    def val_func(self):
+        metrics = self.val_step()
+        if metrics:
+            self.record_scalars(metrics, "valid")
+        return metrics
+
+    # -- checkpointing (ref base.py:279-327) ------------------------------
+
+    def _ckpt_path(self, name=None) -> str:
+        if name is None:
+            name = f"epoch{self.clock.epoch}_iter{self.clock.step}"
+        return osp.join(self.config.ckpts_dir, name)
+
+    def extra_state(self) -> dict:
+        """Subclass hook for JSON-able trainer state persisted in checkpoints."""
+        return {}
+
+    def load_extra_state(self, extra: dict) -> None:
+        pass
+
+    def save_ckpt(self, name=None):
+        tree = {"params": self.params}
+        if self.opt_state is not None:
+            leaves = jax.tree_util.tree_leaves(self.opt_state)
+            tree["opt"] = {"leaves": [np.asarray(l) for l in leaves]}
+        save_checkpoint(self._ckpt_path(name), tree,
+                        extra={"clock": self.clock.make_checkpoint(),
+                               **self.extra_state()})
+        self.record_str(f"saved checkpoint {self._ckpt_path(name)}")
+
+    def load_ckpt(self, path, restore_clock=True, restore_optimizer=True):
+        tree, extra = load_checkpoint(path)
+        self.params = merge_into(self.params, tree.get("params", tree))
+        if restore_optimizer and self.opt_state is not None and "opt" in tree:
+            loaded = tree["opt"]["leaves"]
+            treedef = jax.tree_util.tree_structure(self.opt_state)
+            cur = jax.tree_util.tree_leaves(self.opt_state)
+            if len(loaded) == len(cur):
+                leaves = [jnp.asarray(l).astype(c.dtype) if hasattr(c, "dtype")
+                          else l for l, c in zip(loaded, cur)]
+                self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            else:
+                self.record_str("optimizer state in checkpoint does not match; "
+                                "skipping (strict=False)")
+        if restore_clock and "clock" in extra:
+            self.clock.restore_checkpoint(extra["clock"])
+        self.load_extra_state(extra)
+        self.record_str(f"loaded checkpoint {path}")
+
+    def auto_resume(self):
+        """Resume from the newest checkpoint of this experiment
+        (ref train.py:22-29)."""
+        pattern = osp.join(self.config.save_dir, self.config.exp_name,
+                           "*", "ckpts", "*.npz")
+        latest = find_latest_checkpoint(pattern)
+        if latest:
+            self.load_ckpt(latest)
+        if self.config.resume:
+            self.load_ckpt(self.config.resume)
+
+    # -- chunked full-image rendering -------------------------------------
+
+    def _chunk_render_fn(self, rcfg: RenderConfig, chunk: int):
+        key_ = (rcfg, chunk)
+        if key_ not in self._render_fns:
+            statics = self.statics
+
+            @functools.partial(jax.jit, static_argnames=())
+            def fn(params, anneal, rays_tiles, bkgd_tiles, key):
+                def one(args):
+                    rays, bkgd = args
+                    return render_rays(params, statics, anneal, rays, bkgd,
+                                       key, rcfg)
+                return jax.lax.map(one, (rays_tiles, bkgd_tiles))
+
+            self._render_fns[key_] = fn
+        return self._render_fns[key_]
+
+    def render_rays_chunked(self, rays, background, rcfg: RenderConfig,
+                            anneal=None, chunk: int = 16384, key=None) -> dict:
+        """Render any number of rays with bounded memory: pad to a chunk
+        multiple and ``lax.map`` over fixed-size tiles (the jitted analog of
+        the reference's Python chunk loop, trainer_moco_flow.py:196-224)."""
+        if key is None:
+            key = jax.random.key(0)
+        n = rays.shape[0]
+        pad = (-n) % chunk
+        rays_p = jnp.concatenate(
+            [rays, jnp.broadcast_to(rays[-1:], (pad, rays.shape[1]))]) if pad else rays
+        bg = background if background is not None else jnp.ones((n, 3))
+        bg_p = jnp.concatenate(
+            [bg, jnp.broadcast_to(bg[-1:], (pad, 3))]) if pad else bg
+        tiles = rays_p.reshape(-1, chunk, rays_p.shape[1])
+        bg_tiles = bg_p.reshape(-1, chunk, 3)
+        out = self._chunk_render_fn(rcfg, chunk)(
+            self.params, anneal or {}, tiles, bg_tiles, key)
+        flat = {}
+        for k, v in out.items():
+            if v.ndim >= 2 and v.shape[1] == chunk:
+                vv = v.reshape(-1, *v.shape[2:])[:n]
+            else:  # per-chunk scalars (consensus terms): average
+                vv = jnp.mean(v)
+            flat[k] = vv
+        return flat
+
+    def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
+                            anneal=None, chunk: int = 16384) -> dict:
+        """Render only hull-masked rays, scatter back, composite with the
+        background (ref trainer_moco_flow.py:226-268 semantics: foreground
+        where opacity > 0, background elsewhere; depth 10 outside the hull,
+        8 inside-but-empty)."""
+        mask = np.asarray(mask)
+        idx = np.flatnonzero(mask)
+        sel = jnp.asarray(idx)
+        res = self.render_rays_chunked(rays[sel], background[sel], rcfg,
+                                       anneal=anneal, chunk=chunk)
+        typ = "fine" if "rgb_fine" in res else "coarse"
+        n = rays.shape[0]
+        opacity = res[f"opacity_{typ}"]
+        fg = opacity > 0
+
+        rgb_full = jnp.asarray(background)
+        rgb_vals = jnp.where(fg[:, None], res[f"rgb_{typ}"], background[sel])
+        rgb_full = rgb_full.at[sel].set(rgb_vals)
+
+        depth_full = jnp.full((n,), 10.0)
+        depth_vals = jnp.where(fg, res[f"depth_{typ}"], 8.0)
+        depth_full = depth_full.at[sel].set(depth_vals)
+        return {f"rgb_{typ}": rgb_full, f"depth_{typ}": depth_full,
+                f"opacity_{typ}": jnp.zeros((n,)).at[sel].set(opacity)}

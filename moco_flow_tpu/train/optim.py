@@ -1,0 +1,128 @@
+"""Optimizers and LR schedules on optax.
+
+Parity surface with the reference factories (trainer/base.py:122-160):
+optimizers sgd / adam / radam / ranger (Ranger = RAdam + Lookahead,
+utils/optimizers.py:266-405) and schedulers steplr / explr / cosine / poly.
+The reference steps its scheduler every *iteration* and divides steplr
+milestones by world_size (base.py:147, train.py:73); here schedules are pure
+functions of the global step with the same milestone scaling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class LookaheadState(NamedTuple):
+    inner: optax.OptState
+    slow: optax.Params
+    count: jnp.ndarray
+
+
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper keeping slow weights inside the optimizer state
+    (k=6, alpha=0.5 — the reference Ranger defaults,
+    utils/optimizers.py:273)."""
+
+    def init(params):
+        return LookaheadState(inner.init(params), params, jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        updates, inner_state = inner.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = count % sync_period == 0
+
+        def on_sync(args):
+            upd, slow = args
+            fast = jax.tree.map(lambda p, u: p + u, params, upd)
+            new_slow = jax.tree.map(
+                lambda s, f: s + slow_step_size * (f - s), slow, fast)
+            # emit the update that lands params exactly on the new slow weights
+            return jax.tree.map(lambda ns, p: ns - p, new_slow, params), new_slow
+
+        def no_sync(args):
+            upd, slow = args
+            return upd, slow
+
+        updates, slow = jax.lax.cond(sync, on_sync, no_sync,
+                                     (updates, state.slow))
+        return updates, LookaheadState(inner_state, slow, count)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_schedule(scheduler_config: dict | None, base_lr: float,
+                  world_size: int = 1):
+    """LR as a pure function of the global step (ref base.py:142-160)."""
+    if scheduler_config is None:
+        return base_lr
+    kind = scheduler_config["type"]
+    if kind == "steplr":
+        milestones = [int(s) // world_size for s in scheduler_config["decay_step"]]
+        gamma = scheduler_config["decay_gamma"]
+        return optax.piecewise_constant_schedule(
+            base_lr, {m: gamma for m in milestones})
+    if kind == "explr":
+        return lambda step: base_lr * scheduler_config["lr_decay"] ** step
+    if kind == "cosine":
+        t_max = scheduler_config["num_epochs"]
+        eps = 1e-8
+        return lambda step: eps + (base_lr - eps) * 0.5 * (
+            1 + jnp.cos(jnp.pi * jnp.minimum(step, t_max) / t_max))
+    if kind == "poly":
+        n = scheduler_config["num_epochs"]
+        p = scheduler_config["poly_exp"]
+        return lambda step: base_lr * (1 - jnp.minimum(step, n) / n) ** p
+    raise NotImplementedError(f"scheduler type {kind} not implemented")
+
+
+def make_optimizer(optimizer_config: dict, scheduler_config: dict | None = None,
+                   world_size: int = 1) -> optax.GradientTransformation:
+    """Optimizer factory (ref base.py:122-140). ``learning_rate`` may be a
+    schedule; optax re-evaluates it each step (== per-iteration scheduler
+    stepping, ref train.py:73)."""
+    kind = optimizer_config["type"]
+    lr = make_schedule(scheduler_config, optimizer_config["lr"], world_size)
+    wd = optimizer_config.get("weight_decay", 0) or 0
+    eps = 1e-8
+    if kind == "sgd":
+        opt = optax.sgd(lr, momentum=optimizer_config.get("momentum", 0.0))
+        if wd:
+            opt = optax.chain(optax.add_decayed_weights(wd), opt)
+        return opt
+    if kind == "adam":
+        if wd:
+            return optax.adamw(lr, eps=eps, weight_decay=wd)
+        return optax.adam(lr, eps=eps)
+    if kind == "radam":
+        opt = optax.radam(lr, eps=eps)
+        if wd:
+            opt = optax.chain(optax.add_decayed_weights(wd), opt)
+        return opt
+    if kind == "ranger":
+        inner = optax.radam(lr, eps=eps)
+        if wd:
+            inner = optax.chain(optax.add_decayed_weights(wd), inner)
+        return lookahead(inner)
+    raise NotImplementedError(f"optimizer type {kind} not implemented")
+
+
+def zero_grads_where(grads, freeze_fn):
+    """Zero the gradient subtrees selected by ``freeze_fn(path) -> bool``.
+
+    State-shape-stable alternative to the reference's requires_grad toggling
+    (trainer_moco_flow.py:390-404): frozen leaves get exactly-zero updates
+    (adam moments start and stay at zero for them)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)
+    leaves, treedef = flat
+    out = []
+    for path, leaf in leaves:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        out.append(jnp.zeros_like(leaf) if freeze_fn(key) else leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

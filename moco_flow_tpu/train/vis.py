@@ -1,0 +1,212 @@
+"""Visualization: rendered frames, free-viewpoint videos, mesh extraction.
+
+Capability parity with the reference visualizers
+(trainer/trainer_moco_flow.py:484-683, trainer/trainer_nerf.py:199-333,
+utils/vis_utils.py:28-43): GT|pred|depth frame strips, spherical-orbit videos,
+and sigma-grid marching-cubes meshes (canonical or NoF-warped per-frame).
+Rendering is the trainers' chunked jitted path; only PNG/mp4/OBJ encoding is
+host-side.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.nerf import nerf_sigma
+from ..render.volume import RenderConfig, embed_padded
+from .stage_nof import nof_points
+
+
+def colorize_depth(depth: np.ndarray) -> np.ndarray:
+    """(H, W) depth -> (H, W, 3) JET colormap in [0,1]
+    (ref vis_utils.py:28-43)."""
+    import cv2
+    x = np.nan_to_num(np.asarray(depth))
+    mi, ma = x.min(), x.max()
+    x = (x - mi) / (ma - mi + 1e-8)
+    x = (255 * x).astype(np.uint8)
+    bgr = cv2.applyColorMap(x, cv2.COLORMAP_JET)
+    return bgr[..., ::-1].astype(np.float32) / 255.0
+
+
+def save_image(path: str, img: np.ndarray):
+    import imageio
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    imageio.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+
+def save_video(path: str, frames: list, fps: int = 16):
+    import imageio
+    try:
+        imageio.mimwrite(path, frames, fps=fps, quality=8)
+    except Exception:  # no ffmpeg backend: leave the PNGs
+        pass
+
+
+def decode_results(res: dict, img_size):
+    h, w = img_size
+    typ = "fine" if "rgb_fine" in res else "coarse"
+    img = np.asarray(res[f"rgb_{typ}"]).reshape(h, w, 3)
+    depth = colorize_depth(np.asarray(res[f"depth_{typ}"]).reshape(h, w))
+    return img, depth
+
+
+def _render_view(trainer, dataset, idx, c2w4=None, white_bkgd=False,
+                 use_nof=True):
+    rays, mask = dataset.frame_rays(idx, c2w4=c2w4)
+    bg = jnp.ones_like(dataset.bkgd_img) if white_bkgd else dataset.bkgd_img
+    rcfg = trainer.rcfg_test if use_nof and hasattr(trainer, "rcfg_test") \
+        else getattr(trainer, "rcfg_test_cano", trainer.rcfg_test)
+    if not use_nof and hasattr(trainer, "rcfg_test_cano"):
+        rcfg = trainer.rcfg_test_cano
+    res = trainer.render_masked_image(rays, mask, bg, rcfg,
+                                      anneal=trainer.anneal())
+    return decode_results(res, dataset.size)
+
+
+def visualize_frame(trainer, frame_idx: int, use_nof=True,
+                    vis_novel_view=True, save_path=None, save_tb=True):
+    """GT | pred | depth (| novel | novel depth) strip for one frame; frame -1
+    renders the canonical space (ref trainer_moco_flow.py:629-661)."""
+    ds = trainer.val_dataset
+    idx = frame_idx if frame_idx != -1 else 0
+    nof = use_nof and frame_idx != -1
+    img, depth = _render_view(trainer, ds, idx, use_nof=nof)
+    panels = []
+    gt = ds.frame_rgbs(idx)
+    if gt is not None:
+        panels.append(np.asarray(gt).reshape(*ds.size, 3))
+    panels += [img, depth]
+    if vis_novel_view and hasattr(ds, "spherical_poses"):
+        pose = ds.spherical_poses[np.random.randint(len(ds.spherical_poses))]
+        nimg, ndepth = _render_view(trainer, ds, idx, c2w4=pose,
+                                    white_bkgd=True, use_nof=nof)
+        panels += [nimg, ndepth]
+    strip = np.concatenate(panels, axis=1)
+    save_path = save_path or trainer.config.log_dir
+    name = f"frame_{frame_idx}" if frame_idx != -1 else "canonical"
+    out = osp.join(save_path,
+                   f"images_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
+                   f"{name}.png")
+    save_image(out, strip)
+    if save_tb and trainer.logger is not None:
+        trainer.logger.image(name, strip, trainer.clock.step)
+    return strip
+
+
+def visualize_spherical(trainer, frame_idx: int, use_nof=True, save_path=None):
+    """Orbit video of one frame (or canonical for -1)
+    (ref trainer_moco_flow.py:550-586)."""
+    ds = trainer.val_dataset
+    idx = frame_idx if frame_idx != -1 else 0
+    nof = use_nof and frame_idx != -1
+    save_path = save_path or trainer.config.log_dir
+    name = f"frame_{frame_idx}" if frame_idx != -1 else "canonical"
+    img_dir = osp.join(
+        save_path,
+        f"spherical_videos_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
+        f"{name}_images")
+    os.makedirs(img_dir, exist_ok=True)
+    frames = []
+    for i, pose in enumerate(ds.spherical_poses):
+        img, depth = _render_view(trainer, ds, idx, c2w4=pose,
+                                  white_bkgd=True, use_nof=nof)
+        strip = np.concatenate([img, depth], axis=1)
+        save_image(osp.join(img_dir, f"{i:04d}.png"), strip)
+        frames.append((np.clip(strip, 0, 1) * 255).astype(np.uint8))
+    save_video(img_dir.replace("_images", "_video.mp4"), frames)
+
+
+def visualize_video(trainer, vis_novel_view=True, save_path=None):
+    """Per-frame reconstruction video over the whole sequence
+    (ref trainer_moco_flow.py:589-626)."""
+    ds = trainer.val_dataset
+    save_path = save_path or trainer.config.log_dir
+    img_dir = osp.join(
+        save_path,
+        f"videos_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}", "images")
+    os.makedirs(img_dir, exist_ok=True)
+    frames = []
+    for idx in range(ds.num_frames):
+        img, depth = _render_view(trainer, ds, idx, use_nof=True)
+        panels = []
+        gt = ds.frame_rgbs(idx)
+        if gt is not None:
+            panels.append(np.asarray(gt).reshape(*ds.size, 3))
+        panels += [img, depth]
+        if vis_novel_view and hasattr(ds, "spherical_poses"):
+            pose = ds.spherical_poses[idx % len(ds.spherical_poses)]
+            nimg, ndepth = _render_view(trainer, ds, idx, c2w4=pose,
+                                        white_bkgd=True, use_nof=True)
+            panels += [nimg, ndepth]
+        strip = np.concatenate(panels, axis=1)
+        save_image(osp.join(img_dir, f"{idx:04d}.png"), strip)
+        frames.append((np.clip(strip, 0, 1) * 255).astype(np.uint8))
+    save_video(osp.join(osp.dirname(img_dir), "video.mp4"), frames)
+
+
+# ---------------------------------------------------------------------------
+# Mesh extraction
+# ---------------------------------------------------------------------------
+
+def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
+               extent: float = 1.5, chunk: int = 65536) -> np.ndarray:
+    """Evaluate sigma on an n_grid^3 lattice (NoF-warped for frame != -1),
+    batched on device (ref trainer_moco_flow.py:484-531)."""
+    params, statics = trainer.params, trainer.statics
+    anneal = trainer.anneal()
+    use_fine = "fine_NeRF" in params
+    nerf_name = "fine_NeRF" if use_fine else "coarse_NeRF"
+    nerf_cfg = statics.fine if use_fine and statics.fine else statics.coarse
+    warp = frame_idx != -1 and "bw_NoF" in params
+    norm_idx = jnp.asarray(
+        frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
+
+    @jax.jit
+    def eval_tiles(tiles):
+        def one(pts):
+            if warp:
+                pts = nof_points(params["bw_NoF"], statics, anneal, pts,
+                                 norm_idx, RenderConfig(use_nof=True))
+            emb = embed_padded(pts, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
+                               anneal.get("nerf_xyz"))
+            return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
+        return jax.lax.map(one, tiles)
+
+    lin = np.linspace(-extent, extent, n_grid, dtype=np.float32)
+    xyz = np.stack(np.meshgrid(lin, lin, lin), -1).reshape(-1, 3)
+    pad = (-len(xyz)) % chunk
+    xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+    sig = np.asarray(eval_tiles(jnp.asarray(xyz.reshape(-1, chunk, 3))))
+    sig = sig.reshape(-1)[:n_grid ** 3]
+    return np.maximum(sig, 0).reshape(n_grid, n_grid, n_grid)
+
+
+def visualize_mesh(trainer, frame_idx: int, n_grid: int = 256,
+                   sigma_threshold: float = 10.0, save_path=None,
+                   extent: float = 1.5):
+    """Sigma grid -> marching cubes -> OBJ (ref trainer_moco_flow.py:484-548;
+    includes the reference's xy swap and winding flip + rescale :536-538)."""
+    from ..ops.mcubes import marching_cubes, export_obj
+    sigma = sigma_grid(trainer, frame_idx, n_grid=n_grid, extent=extent)
+    verts, tris = marching_cubes(sigma, sigma_threshold)
+    if len(verts) == 0:
+        trainer.record_str("visualize_mesh: empty sigma field, skipping")
+        return None
+    verts = verts[:, [1, 0, 2]]
+    tris = tris[:, [0, 2, 1]]
+    verts = verts / n_grid * (2 * extent) - extent
+    save_path = save_path or trainer.config.log_dir
+    name = f"{frame_idx}" if frame_idx != -1 else "canonical"
+    out = osp.join(save_path,
+                   f"mesh_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
+                   f"{name}.obj")
+    os.makedirs(osp.dirname(out), exist_ok=True)
+    export_obj(verts, tris, out)
+    return out

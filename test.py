@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Rendering / evaluation CLI.
+
+Same surface as the reference ``test.py``:
+``python test.py -c cfg.yaml [-r ckpt] [--reso N] [--render_gt |
+--test_json path] [--render_training_poses] [--render_spherical_poses
+[--spherical_poses_frame F]] [--extract_mesh [--mesh_frame F] [--N_grid N]
+[--sigma_threshold T]] [--out_dir DIR]`` — frame ``-1`` renders/extracts the
+canonical space. The PE-annealing state needs no explicit restoration here:
+annealing weights are a pure function of the checkpointed step
+(cf. ref test.py:35 increase_xyzemb_dim).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+from moco_flow_tpu.train import get_trainer
+from moco_flow_tpu.train.checkpoint import find_latest_checkpoint
+from moco_flow_tpu.train.vis import (
+    visualize_frame,
+    visualize_mesh,
+    visualize_spherical,
+    visualize_video,
+)
+from moco_flow_tpu.utils.config import Config
+
+
+def test(config: Config, args, smpl_data=None):
+    trainer = get_trainer(config, smpl_data=smpl_data)
+
+    config.raw["dataloader"]["val_size"] = [args.reso, args.reso]
+    config.raw["model"]["pretrained_nerf"] = None
+    config.raw["model"]["pretrained_nof"] = None
+    config.raw["dataloader"]["bkgd"] = 1.0
+    trainer.build_model(config["model"])
+
+    if config.resume:
+        trainer.load_ckpt(config.resume)
+    else:
+        latest = find_latest_checkpoint(
+            osp.join(config.save_dir, config.exp_name, "*", "ckpts", "*.npz"))
+        if latest:
+            trainer.load_ckpt(latest)
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    if not args.render_gt:
+        assert args.test_json, "provide --test_json or --render_gt"
+        config.raw["dataloader"]["root_dir"] = osp.dirname(args.test_json)
+    trainer.prepare_dataloader(config["dataloader"])
+    trainer.num_frames = trainer.val_dataset.num_frames
+
+    if args.render_training_poses:
+        visualize_video(trainer, vis_novel_view=False, save_path=args.out_dir)
+    if args.render_spherical_poses:
+        visualize_spherical(trainer, args.spherical_poses_frame,
+                            save_path=args.out_dir)
+    if args.extract_mesh:
+        visualize_mesh(trainer, args.mesh_frame, n_grid=args.N_grid,
+                       sigma_threshold=args.sigma_threshold,
+                       save_path=args.out_dir)
+    if args.render_frame is not None:
+        visualize_frame(trainer, args.render_frame, save_path=args.out_dir)
+    return trainer
+
+
+def main():
+    args = argparse.ArgumentParser(description="testing pipeline")
+    args.add_argument("-m", "--mode", default="test", type=str)
+    args.add_argument("-c", "--config", required=True, type=str)
+    args.add_argument("-r", "--resume", default=None, type=str)
+    args.add_argument("-n", "--job_name", default=None, type=str)
+    args.add_argument("-s", "--seed", default=None)
+    args.add_argument("--out_dir", default=None, type=str)
+    args.add_argument("--reso", default=512, type=int)
+    args.add_argument("--render_gt", action="store_true")
+    args.add_argument("--test_json", default=None, type=str)
+    args.add_argument("--render_training_poses", action="store_true")
+    args.add_argument("--render_spherical_poses", action="store_true")
+    args.add_argument("--spherical_poses_frame", default=-1, type=int)
+    args.add_argument("--extract_mesh", action="store_true")
+    args.add_argument("--mesh_frame", default=-1, type=int)
+    args.add_argument("--N_grid", default=512, type=int)
+    args.add_argument("--sigma_threshold", default=10, type=int)
+    args.add_argument("--render_frame", default=None, type=int)
+    ns = args.parse_args()
+    config = Config.from_args(ns, mode="test")
+    test(config, ns)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""End-to-end smoke + convergence tests for the 3-stage pipeline on a
+synthetic scene (tiny configs; CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from moco_flow_tpu.data.synthetic import make_synthetic_scene
+from moco_flow_tpu.geometry.smpl import synthetic_smpl_data
+from moco_flow_tpu.parallel.mesh import make_mesh
+from moco_flow_tpu.train import get_trainer
+from moco_flow_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    smpl = make_synthetic_scene(root, n_frames=3, size=48, focal=60.0)
+    return root, smpl
+
+
+def nerf_config(root, save_dir):
+    return {
+        "save_dir": save_dir, "exp_name": "t_nerf",
+        "dataloader": {
+            "type": "moco_flow", "root_dir": root, "imgs_dir": "images",
+            "size": [48, 48], "val_size": [48, 48],
+            "aabb": [[1.2, 1.2, 1.2], [0, 0, 0]], "bkgd": 1.0, "interval": 1,
+        },
+        "model": {
+            "type": "nerf", "pretrained_path": None,
+            "N_rand": 128, "chunk": 2048, "N_samples": 16, "N_importance": 16,
+            "use_disp": False, "perturb": 1.0, "noise_std": 0.0,
+            "nerf_activate_type": "softplus",
+            "nerf_embedding_xyz": {"type": "Embedding", "in_channels": 3,
+                                   "N_freqs": 6, "logscale": True},
+            "nerf_embedding_dir": {"type": "Embedding", "in_channels": 3,
+                                   "N_freqs": 4, "logscale": True},
+            "nerf_embedding_ind": None,
+            "coarse_NeRF": {"type": "NeRF", "D": 4, "W": 64,
+                            "in_channels_xyz": 39, "skips": [2],
+                            "extra_feat_type": "dir", "extra_feat_dim": 27},
+            "fine_NeRF": {"type": "NeRF", "D": 4, "W": 64,
+                          "in_channels_xyz": 39, "skips": [2],
+                          "extra_feat_type": "dir", "extra_feat_dim": 27},
+        },
+        "loss": {"type": "MSE"},
+        "optimizer": {"type": "radam", "lr": 5e-3, "weight_decay": 0},
+        "scheduler": {"type": "steplr", "decay_step": [100000],
+                      "decay_gamma": 0.5},
+        "trainer": {"num_iters": 60, "val_every_n_step": 0,
+                    "save_every_n_step": 0, "log_freq": 10},
+    }
+
+
+def nof_config(root, save_dir):
+    nof = {"type": "NoF", "D": 2, "W": 64, "in_channels_xyz": 33,
+           "skips": [1], "extra_feat_type": "ind", "extra_feat_dim": 33,
+           "use_quat": True}
+    return {
+        "save_dir": save_dir, "exp_name": "t_nof",
+        "dataloader": {"type": "nof", "root_dir": root, "interval": 1},
+        "model": {
+            "type": "nof", "pretrained_path": None, "pretrained_nof": None,
+            "N_sampled": 512,
+            "nof_embedding_xyz": {"in_channels": 3, "N_freqs": 5,
+                                  "logscale": True},
+            "nof_embedding_ind": {"in_channels": 1, "N_freqs": 16,
+                                  "logscale": True},
+            "fw_NoF": nof, "bw_NoF": nof,
+        },
+        "loss": {"type": "L1"},
+        "optimizer": {"type": "adam", "lr": 1e-3, "weight_decay": 0},
+        "scheduler": {"type": "steplr", "decay_step": [300000],
+                      "decay_gamma": 0.5},
+        "trainer": {"num_iters": 40, "val_every_n_step": 0,
+                    "save_every_n_step": 0, "log_freq": 10},
+    }
+
+
+def moco_config(root, save_dir, pretrained_nerf=None, pretrained_nof=None):
+    nof = {"type": "NoF", "D": 2, "W": 64, "in_channels_xyz": 33,
+           "skips": [1], "extra_feat_type": "ind", "extra_feat_dim": 33,
+           "use_quat": True}
+    return {
+        "save_dir": save_dir, "exp_name": "t_moco",
+        "dataloader": {
+            "type": "moco_flow", "root_dir": root, "imgs_dir": "images",
+            "size": [48, 48], "val_size": [48, 48],
+            "aabb": [[1.2, 1.2, 1.4], [0, 0, 0]], "bkgd": "rand",
+            "interval": 1,
+        },
+        "model": {
+            "type": "moco_flow", "pretrained_path": None,
+            "pretrained_nerf": pretrained_nerf, "pretrained_nof": pretrained_nof,
+            "coarse_to_fine": True,
+            "N_rand": 64, "N_sampled": 128, "chunk": 2048,
+            "N_samples": 12, "N_importance": 12, "use_disp": False,
+            "perturb": 1.0, "noise_std": 0.0, "nerf_activate_type": "relu",
+            "nof_embedding_xyz": {"in_channels": 3, "N_freqs": 5,
+                                  "logscale": True},
+            "nof_embedding_ind": {"in_channels": 1, "N_freqs": 16,
+                                  "logscale": True},
+            "fw_NoF": nof, "bw_NoF": nof,
+            "nerf_embedding_xyz": {"in_channels": 3, "N_freqs": 6,
+                                   "logscale": True},
+            "nerf_embedding_dir": None,
+            "nerf_embedding_ind": {"in_channels": 1, "N_freqs": 2,
+                                   "logscale": True},
+            "coarse_NeRF": {"type": "NeRF", "D": 4, "W": 64,
+                            "in_channels_xyz": 39, "skips": [2],
+                            "extra_feat_type": "ind", "extra_feat_dim": 5},
+            "fine_NeRF": {"type": "NeRF", "D": 4, "W": 64,
+                          "in_channels_xyz": 39, "skips": [2],
+                          "extra_feat_type": "ind", "extra_feat_dim": 5},
+        },
+        "loss": {
+            "chain_local": True, "nof_local_weight": 0.2,
+            "chain_global": True, "nof_global_weight": 0.2,
+            "img_loss": {"type": "MSE", "weight": 1},
+            "nof_loss": {"type": "L1", "weight": 10},
+            "msk_loss": {"type": "BCE", "weight": 10},
+        },
+        "optimizer": {
+            "moco": {"type": "adam", "lr": 1e-3, "weight_decay": 0},
+            "nof": {"type": "adam", "lr": 1e-3, "weight_decay": 0},
+        },
+        "scheduler": {"type": "steplr", "decay_step": [1050000],
+                      "decay_gamma": 0.5},
+        "trainer": {"num_iters": 30, "coarse2fine_start_iter": 8,
+                    "coarse2fine_end_iter": 20, "val_every_n_step": 0,
+                    "save_every_n_step": 0, "log_freq": 10},
+    }
+
+
+def run_steps(trainer, n):
+    metrics = []
+    for _ in range(n):
+        metrics.append(trainer.train_func())
+        trainer.clock.tick(trainer.world_size)
+    return metrics
+
+
+def test_stage1_overfit(scene, tmp_path):
+    root, smpl = scene
+    cfg = Config(nerf_config(root, str(tmp_path)), mode="train")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=make_mesh(1))
+    metrics = run_steps(trainer, 60)
+    first = np.mean([m["img_loss"] for m in metrics[:5]])
+    last = np.mean([m["img_loss"] for m in metrics[-5:]])
+    assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+    assert metrics[-1]["train_psnr"] > metrics[0]["train_psnr"]
+    # val path
+    val = trainer.val_step()
+    assert np.isfinite(val["val_psnr"])
+    # checkpoint roundtrip
+    trainer.save_ckpt("final")
+    p0 = jax.tree_util.tree_leaves(trainer.params)[0].copy()
+    trainer.params = jax.tree.map(lambda x: x * 0, trainer.params)
+    trainer.load_ckpt(trainer._ckpt_path("final"))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]),
+        np.asarray(p0))
+    tmp_path.joinpath("marker").write_text("ok")
+
+
+def test_stage2_nof_converges(scene, tmp_path):
+    root, smpl = scene
+    cfg = Config(nof_config(root, str(tmp_path)), mode="train")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=make_mesh(1))
+    metrics = run_steps(trainer, 40)
+    first = metrics[0]["nof_bw"] + metrics[0]["nof_fw"]
+    last = metrics[-1]["nof_bw"] + metrics[-1]["nof_fw"]
+    assert np.isfinite(last) and last < first, (first, last)
+    val = trainer.val_step()
+    assert np.isfinite(val["val_nof_bw"])
+
+
+def test_stage3_phases_and_losses(scene, tmp_path):
+    root, smpl = scene
+    # stage-1 checkpoint to bootstrap from
+    cfg1 = Config(nerf_config(root, str(tmp_path)), mode="train")
+    t1 = get_trainer(cfg1, smpl_data=smpl, mesh=make_mesh(1))
+    run_steps(t1, 3)
+    t1.save_ckpt("final")
+    nerf_ckpt = t1._ckpt_path("final")
+
+    cfg = Config(moco_config(root, str(tmp_path), pretrained_nerf=nerf_ckpt),
+                 mode="train")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=make_mesh(1))
+
+    # sigma-branch surgery: both NeRFs share the stage-1 fine sigma branch
+    np.testing.assert_allclose(
+        np.asarray(trainer.params["coarse_NeRF"]["trunk"][0]["w"]),
+        np.asarray(t1.params["fine_NeRF"]["trunk"][0]["w"]))
+
+    # phase schedule parity at realistic steps (c2f 5000..1005000,
+    # ref trainer_moco_flow.py:419-438): msk-only when (step//1000)%10==0
+    ref_phases = {0: ("full", True), 4999: ("full", True),
+                  5000: ("none", True), 5001: ("none", False),
+                  9999: ("none", False), 10000: ("msk", False),
+                  10999: ("msk", False), 11000: ("none", False),
+                  19999: ("none", False), 20000: ("msk", False),
+                  1005000: ("msk", False), 2000000: ("msk", False)}
+    t_saved = (trainer.c2f_start, trainer.c2f_end)
+    trainer.c2f_start, trainer.c2f_end = 5000, 1005000
+    for s, want in ref_phases.items():
+        assert trainer.phase(s) == want, (s, trainer.phase(s), want)
+    trainer.c2f_start, trainer.c2f_end = t_saved
+
+    seen = set()
+    metrics = []
+    for _ in range(26):
+        seen.add(trainer.phase(trainer.clock.step))
+        metrics.append(trainer.train_func())
+        trainer.clock.tick(1)
+    # at toy scale (all steps < 1000) the schedule yields full then msk
+    modes = {m for m, _ in seen}
+    assert modes == {"full", "msk"}, modes
+    # phase-1 steps have the full loss set
+    assert {"img_loss", "nof_local", "nof_global", "nof_bw", "nof_fw",
+            "alphas_mask"} <= set(metrics[0])
+    # msk-phase steps drop nof_bw/fw but keep alphas_mask
+    late = metrics[-1]
+    assert "alphas_mask" in late and "nof_bw" not in late
+    for m in metrics:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, m)
+    # the nof-optimizer deletion flag flips only at a 'none' step
+    # (ref :374-377); toy-scale schedule never reaches one
+    assert not trainer.nof_opt_deleted
+    val = trainer.val_step()
+    assert np.isfinite(val["val_psnr"])
+
+
+def test_stage1_data_parallel(scene, tmp_path):
+    """Same training on an 8-device CPU mesh: runs, converges, params stay
+    replicated/identical."""
+    from moco_flow_tpu.parallel.mesh import make_mesh
+    root, smpl = scene
+    mesh = make_mesh(8)
+    cfg = Config(nerf_config(root, str(tmp_path)), mode="train")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=mesh)
+    assert trainer.world_size == 8
+    metrics = run_steps(trainer, 20)
+    first = np.mean([m["img_loss"] for m in metrics[:3]])
+    last = np.mean([m["img_loss"] for m in metrics[-3:]])
+    assert np.isfinite(last) and last < first

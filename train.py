@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Same surface as the reference ``train.py``:
+``python train.py -c config.yaml [-r ckpt] [-n job_name] [-s seed]`` with
+auto-resume from the newest checkpoint of the experiment. ``--dist`` is
+unnecessary: multi-chip data parallelism engages automatically whenever
+``jax.devices()`` exposes more than one chip (shard_map over a 1-D mesh);
+``--num_devices`` can cap it.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from moco_flow_tpu.parallel.mesh import make_mesh
+from moco_flow_tpu.train import get_trainer
+from moco_flow_tpu.utils.config import Config
+
+
+def train(config: Config, smpl_data=None, mesh=None):
+    trainer = get_trainer(config, smpl_data=smpl_data, mesh=mesh)
+    trainer.auto_resume()
+    clock = trainer.clock
+    tcfg = config["trainer"]
+    num_iters = tcfg["num_iters"]
+    val_every = tcfg.get("val_every_n_step", 0)
+    save_every = tcfg.get("save_every_n_step", 0)
+    world = trainer.world_size
+    epoch_len = max(trainer.num_frames // world, 1)
+
+    try:
+        from tqdm import tqdm
+        pbar = tqdm(total=num_iters, initial=clock.step)
+    except ImportError:
+        pbar = None
+
+    while clock.step < num_iters:
+        metrics = trainer.train_func()
+
+        if val_every and clock.step % val_every == 0:
+            trainer.val_func()
+            trainer.visualize_batch()
+        if save_every and clock.step % save_every == 0 and clock.step > 0:
+            trainer.save_ckpt()
+
+        if pbar is not None:
+            pbar.update(world)
+            pbar.set_postfix({k: f"{v:.4f}" for k, v in metrics.items()
+                              if isinstance(v, float)})
+        clock.tick(world)
+        if clock.minibatch >= epoch_len:
+            clock.tock()
+
+    trainer.visualize_batch()
+    trainer.save_ckpt("final")
+    return trainer
+
+
+def main():
+    args = argparse.ArgumentParser(description="training pipeline")
+    args.add_argument("-m", "--mode", default="train", type=str)
+    args.add_argument("-c", "--config", required=True, type=str,
+                      help="config file path")
+    args.add_argument("-r", "--resume", default=None, type=str,
+                      help="checkpoint to restore")
+    args.add_argument("-n", "--job_name", default=None, type=str)
+    args.add_argument("-s", "--seed", default=None)
+    args.add_argument("--num_devices", default=None, type=int,
+                      help="cap the data-parallel mesh size")
+    ns = args.parse_args()
+    config = Config.from_args(ns)
+    mesh = make_mesh(ns.num_devices) if ns.num_devices else None
+    train(config, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()
