@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: stage-3 joint-training throughput at the reference step shape.
+
+Prints ONE JSON line: rays/sec/chip for the full MoCo-Flow train step
+(N_rand=1024 rays, 128 coarse + 128 fine samples, bw/fw NoF warps with local +
+global chain losses, NoF L1 + alpha-mask supervision, dual adam) — the step
+the reference runs at ~2.0e4 rays/s per V100 (derived from README.md:139 +
+c2f.yaml:34,142; see BASELINE.md).
+
+``vs_baseline`` = ours / 2.0e4.
+
+Flags: --mode {train|render}, --dtype {float32|bfloat16}, --impl {xla|pallas},
+--steps N. Render mode measures test-time novel-view throughput instead
+(target >= 1e6 rays/s/chip, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+BASELINE_TRAIN_RAYS_PER_SEC = 2.0e4     # V100, derived (BASELINE.md)
+BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
+
+
+def build_trainer(root, save_dir, dtype, impl, mesh):
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+
+    smpl = make_synthetic_scene(root, n_frames=8, size=256, focal=300.0)
+    cfg = _tiny_moco_config(root, save_dir)
+    cfg["dataloader"]["size"] = [256, 256]
+    cfg["dataloader"]["val_size"] = [256, 256]
+    m = cfg["model"]
+    m.update({"N_rand": 1024, "N_samples": 128, "N_importance": 128,
+              "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
+              "perturb": 1.0})
+    config = Config(cfg, mode="train")
+    return get_trainer(config, smpl_data=smpl, mesh=mesh)
+
+
+def bench_train(trainer, steps: int) -> float:
+    import jax
+    for _ in range(3):  # warmup / compile
+        trainer.train_func()
+        trainer.clock.tick(trainer.world_size)
+    jax.block_until_ready(trainer.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        trainer.train_func()
+        trainer.clock.tick(trainer.world_size)
+    jax.block_until_ready(trainer.params)
+    dt = time.perf_counter() - t0
+    n_rand = trainer.config["model"]["N_rand"]
+    return n_rand * trainer.world_size * steps / dt
+
+
+def bench_render(trainer, steps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays(0)
+    bg = jnp.ones((rays.shape[0], 3))
+    out = trainer.render_rays_chunked(rays, bg, trainer.rcfg_test,
+                                      anneal=trainer.anneal(), chunk=16384)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = trainer.render_rays_chunked(rays, bg, trainer.rcfg_test,
+                                          anneal=trainer.anneal(), chunk=16384)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return rays.shape[0] * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train", choices=["train", "render"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    # keep stdout clean for the single JSON line
+    chatter = io.StringIO()
+    with tempfile.TemporaryDirectory() as tmp, \
+            contextlib.redirect_stdout(chatter):
+        trainer = build_trainer(os.path.join(tmp, "scene"),
+                                os.path.join(tmp, "log"), args.dtype,
+                                args.impl, mesh=None)
+        if args.mode == "train":
+            value = bench_train(trainer, args.steps)
+            metric = "train_rays_per_sec_per_chip"
+            base = BASELINE_TRAIN_RAYS_PER_SEC
+        else:
+            value = bench_render(trainer, args.steps)
+            metric = "render_rays_per_sec_per_chip"
+            base = BASELINE_RENDER_RAYS_PER_SEC
+        value = value / trainer.world_size
+    print(chatter.getvalue(), file=sys.stderr)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(value / base, 3),
+        "config": {"mode": args.mode, "dtype": args.dtype, "impl": args.impl,
+                   "step_shape": "1024 rays x (128+128) samples, chain+nof+msk"
+                   if args.mode == "train" else "full-frame test render"},
+    }))
+
+
+if __name__ == "__main__":
+    main()
