@@ -106,6 +106,11 @@ def synthetic_smpl_data(num_vertices: int = 512, seed: int = 0) -> SMPLData:
     j_regressor = np.exp(d) / np.exp(d).sum(1, keepdims=True)
     w = np.exp(-np.abs(y[:, None] - joints_y[None, :]) * 8)
     lbs_weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
+    try:  # a closed triangulation so mesh-based consumers (rasterizer) work
+        from scipy.spatial import ConvexHull
+        faces = ConvexHull(v_template).simplices.astype(np.int64)
+    except ImportError:
+        faces = np.zeros((1, 3), np.int64)
     return SMPLData(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(rng.normal(scale=0.01,
@@ -115,7 +120,7 @@ def synthetic_smpl_data(num_vertices: int = 512, seed: int = 0) -> SMPLData:
         j_regressor=jnp.asarray(j_regressor, jnp.float32),
         lbs_weights=jnp.asarray(lbs_weights),
         parents=parents,
-        faces=np.zeros((1, 3), np.int64),
+        faces=faces,
     )
 
 
