@@ -27,7 +27,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..nn.nerf import NeRFConfig, nerf_apply, nerf_sigma
 from ..nn.nof import NoFConfig, nof_apply
-from ..nn.quaternion import log_quaternion_to_rotation_matrix
 
 _TILE = 1024
 
@@ -206,10 +205,29 @@ def _nof_tile_forward(inp, xyz, ws, cfg: NoFConfig, dtype):
     out = _dot(h, ws[2 * cfg.depth], dtype) + ws[2 * cfg.depth + 1]
     if cfg.use_quat:
         v, s, t = out[:, 0:3], out[:, 3:6], out[:, 6:9]
-        r = log_quaternion_to_rotation_matrix(v)
-        rotated = jnp.einsum("ni,nij->nj", xyz - s, r)
-        return rotated + s + t
+        return _quat_apply_rowvec(v, xyz - s) + s + t
     return out + xyz
+
+
+def _cross(a, b):
+    """Elementwise 3-vector cross product on (N, 3) lane slices (Mosaic can't
+    lower batched 3x3 matmuls, so the quaternion rotation is computed with
+    VPU-only ops)."""
+    a0, a1, a2 = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+    b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    return jnp.concatenate(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-1)
+
+
+def _quat_apply_rowvec(vlog, d):
+    """Rotate row-vectors: d @ R(exp(vlog)) == rotation of d by the conjugate
+    quaternion — matches the nn.nof row-vector convention
+    (v' = d + 2 q_v x (q_v x d + w d) with q_v negated)."""
+    eps = 1e-8
+    theta = jnp.sqrt(jnp.sum(vlog * vlog, axis=-1, keepdims=True) + eps * eps)
+    w = jnp.cos(theta)
+    q_v = -vlog * (jnp.sin(theta) / theta)  # conjugate
+    return d + 2.0 * _cross(q_v, _cross(q_v, d) + w * d)
 
 
 def _nof_pallas(params: dict, cfg: NoFConfig, inputs: jnp.ndarray,

@@ -98,8 +98,12 @@ class BaseTrainer:
     # -- train/val entry points (ref base.py:231-249) ---------------------
 
     def train_func(self):
+        """One training step. Metrics come back as device arrays and are only
+        pulled to the host on log steps — per-step blocking D2H reads would
+        serialize the device queue (and ride the TPU tunnel)."""
         metrics = self.train_step()
         if self.clock.step % self.config["trainer"].get("log_freq", 100) == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
             self.record_scalars(metrics, "train")
         self.losses = metrics
         return metrics

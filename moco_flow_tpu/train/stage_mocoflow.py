@@ -309,9 +309,8 @@ class MoCoFlowTrainer(BaseTrainer):
             self.params, self.opt_state, key, jnp.asarray(step), ds.table,
             ds.directions_flat, ds.images, ds.bkgd_img, self._corr.verts,
             self._corr.src_to_cano)
-        out = {k: float(v) for k, v in metrics.items()}
-        out["state/nerf"] = 0.0 if freeze else 1.0
-        return out
+        metrics["state/nerf"] = 0.0 if freeze else 1.0
+        return metrics
 
     # ------------------------------------------------------------------
 

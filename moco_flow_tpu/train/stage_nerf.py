@@ -100,7 +100,7 @@ class NeRFTrainer(BaseTrainer):
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, key, ds.table, ds.directions_flat,
             ds.images, ds.bkgd_img)
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     # ------------------------------------------------------------------
 

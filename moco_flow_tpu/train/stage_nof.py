@@ -116,7 +116,7 @@ class NoFTrainer(BaseTrainer):
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, key, self._corr.verts,
             self._corr.src_to_cano)
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     def val_step(self):
         """Fresh 10k-point sample, loss only (ref trainer_nof.py:135-140)."""
