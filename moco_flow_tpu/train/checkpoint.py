@@ -100,8 +100,17 @@ def merge_into(params, loaded, strict: bool = False):
 
 
 def ckpt_step(path: str) -> int:
+    """Step of a checkpoint: from the ``_iterN`` name, else from the sidecar
+    clock (covers the 'final' checkpoint, which the reference's name-parsing
+    auto-resume could not rank)."""
     m = re.search(r"_iter(\d+)", os.path.basename(path))
-    return int(m.group(1)) if m else -1
+    if m:
+        return int(m.group(1))
+    try:
+        with open(path + ".json") as f:
+            return int(json.load(f).get("clock", {}).get("step", -1))
+    except (OSError, ValueError):
+        return -1
 
 
 def find_latest_checkpoint(pattern: str) -> str | None:
