@@ -68,10 +68,22 @@ def main():
     args.add_argument("-s", "--seed", default=None)
     args.add_argument("--num_devices", default=None, type=int,
                       help="cap the data-parallel mesh size")
+    args.add_argument("--profile", action="store_true",
+                      help="capture a jax.profiler trace into the log dir")
+    args.add_argument("--debug_nans", action="store_true",
+                      help="enable jax_debug_nans (NaN guard on every op)")
     ns = args.parse_args()
     config = Config.from_args(ns)
     mesh = make_mesh(ns.num_devices) if ns.num_devices else None
-    train(config, mesh=mesh)
+    if ns.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    if ns.profile:
+        from moco_flow_tpu.utils.logging import profile_trace
+        with profile_trace(config.log_dir):
+            train(config, mesh=mesh)
+    else:
+        train(config, mesh=mesh)
 
 
 if __name__ == "__main__":
