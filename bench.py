@@ -84,7 +84,7 @@ def bench_render(trainer, steps: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train", choices=["train", "render"])
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--steps", type=int, default=20)

@@ -183,8 +183,10 @@ class MoCoFlowDataset:
         frames = self.meta["frames"]
         poses, betas = self._frame_smpl_arrays()
 
-        # batched SMPL FK for all frames -> per-frame AABBs
-        verts = np.asarray(smpl_forward(self.smpl, poses, betas))  # (F, V, 3)
+        # batched SMPL FK for all frames -> per-frame AABBs (jitted: the FK is
+        # hundreds of small ops, pathological to dispatch eagerly)
+        verts = np.asarray(jax.jit(
+            lambda p, b: smpl_forward(self.smpl, p, b))(poses, betas))
         scale, offset = self.aabb_cfg[0], self.aabb_cfg[1]
 
         c2ws, nears, fars, masks = [], [], [], []

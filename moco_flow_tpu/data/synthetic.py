@@ -53,8 +53,12 @@ def make_synthetic_scene(root_dir: str, n_frames: int = 4, size: int = 64,
     poses = np.zeros((n_frames, 72), np.float32)
     poses[:, 3:] = rng.normal(scale=pose_scale, size=(n_frames, 69))
     betas = np.zeros((n_frames, 10), np.float32)
+    import jax
     import jax.numpy as jnp
-    verts = np.asarray(smpl_forward(smpl, jnp.asarray(poses), jnp.asarray(betas)))
+    # jit the FK: eagerly it is hundreds of tiny ops (slow on remote backends)
+    verts = np.asarray(jax.jit(
+        lambda p, b: smpl_forward(smpl, p, b))(
+        jnp.asarray(poses), jnp.asarray(betas)))
 
     for i in range(n_frames):
         transl = np.array([0.0, 0.0, cam_dist], np.float32)
@@ -69,15 +73,17 @@ def make_synthetic_scene(root_dir: str, n_frames: int = 4, size: int = 64,
         u = focal * cam[0] / cam[2] + cx
         v = focal * cam[1] / cam[2] + cy
 
-        img = np.zeros((h, w, 4), np.float32)
         yy, xx = np.mgrid[0:h, 0:w]
-        for k in range(0, len(pts), 4):
-            d2 = (xx - u[k]) ** 2 + (yy - v[k]) ** 2
-            blob = np.exp(-d2 / 18.0)
-            color = 0.25 + 0.75 * (pts[k] - pts.min(0)) / (
-                np.ptp(pts, axis=0) + 1e-6)
-            img[..., :3] = np.maximum(img[..., :3], blob[..., None] * color)
-            img[..., 3] = np.maximum(img[..., 3], blob)
+        sel = np.arange(0, len(pts), 4)
+        d2 = ((xx[None] - u[sel, None, None]) ** 2
+              + (yy[None] - v[sel, None, None]) ** 2)  # (K, H, W)
+        blobs = np.exp(-d2 / 18.0)
+        colors = 0.25 + 0.75 * (pts[sel] - pts.min(0)) / (
+            np.ptp(pts, axis=0) + 1e-6)  # (K, 3)
+        img = np.zeros((h, w, 4), np.float32)
+        img[..., :3] = np.max(blobs[..., None] * colors[:, None, None, :],
+                              axis=0)
+        img[..., 3] = blobs.max(axis=0)
         img = np.clip(img, 0, 1)
         Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
             osp.join(root_dir, "images", f"{i:04d}.png"))

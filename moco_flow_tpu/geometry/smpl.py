@@ -34,16 +34,19 @@ NUM_JOINTS = 24
 
 @dataclasses.dataclass
 class SMPLData:
-    """Device-resident SMPL model constants. Not a pytree: the FK functions
-    close over it, so jit captures the arrays as constants (they never change
-    during training)."""
-    v_template: jnp.ndarray   # (V, 3)
-    shapedirs: jnp.ndarray    # (V, 3, 10)
-    posedirs: jnp.ndarray     # (V, 3, 207)
-    j_regressor: jnp.ndarray  # (24, V)
-    lbs_weights: jnp.ndarray  # (V, 24)
-    parents: np.ndarray       # (23,) host ints: parent of joints 1..23
-    faces: np.ndarray         # (F, 3) host ints
+    """SMPL model constants, held as HOST numpy arrays.
+
+    Not a pytree: the FK functions close over it, so jit embeds the arrays as
+    compile-time constants. They must be host-resident — closure-captured
+    *device* arrays are fetched back to the host during MLIR lowering, which
+    is pathologically slow on tunneled TPU backends."""
+    v_template: np.ndarray   # (V, 3)
+    shapedirs: np.ndarray    # (V, 3, 10)
+    posedirs: np.ndarray     # (V, 3, 207)
+    j_regressor: np.ndarray  # (24, V)
+    lbs_weights: np.ndarray  # (V, 24)
+    parents: np.ndarray      # (23,) host ints: parent of joints 1..23
+    faces: np.ndarray        # (F, 3) host ints
 
     @property
     def num_vertices(self) -> int:
@@ -79,11 +82,11 @@ def load_smpl_data(gender: str = "neutral", model_dir: str | None = None) -> SMP
     parents = np.array([id_to_col[int(kin[0, i])] for i in range(1, kin.shape[1])])
     v = np.asarray(m["v_template"], np.float32)
     return SMPLData(
-        v_template=jnp.asarray(v),
-        shapedirs=jnp.asarray(np.asarray(m["shapedirs"])[:, :, :10], jnp.float32),
-        posedirs=jnp.asarray(np.asarray(m["posedirs"]), jnp.float32),
-        j_regressor=jnp.asarray(jr, jnp.float32),
-        lbs_weights=jnp.asarray(np.asarray(m["weights"]), jnp.float32),
+        v_template=v,
+        shapedirs=np.asarray(m["shapedirs"], np.float32)[:, :, :10],
+        posedirs=np.asarray(m["posedirs"], np.float32),
+        j_regressor=np.asarray(jr, np.float32),
+        lbs_weights=np.asarray(m["weights"], np.float32),
         parents=parents,
         faces=np.asarray(m["f"]).astype(np.int64),
     )
@@ -112,13 +115,13 @@ def synthetic_smpl_data(num_vertices: int = 512, seed: int = 0) -> SMPLData:
     except ImportError:
         faces = np.zeros((1, 3), np.int64)
     return SMPLData(
-        v_template=jnp.asarray(v_template),
-        shapedirs=jnp.asarray(rng.normal(scale=0.01,
-                                         size=(num_vertices, 3, 10)), jnp.float32),
-        posedirs=jnp.asarray(rng.normal(scale=0.001,
-                                        size=(num_vertices, 3, 207)), jnp.float32),
-        j_regressor=jnp.asarray(j_regressor, jnp.float32),
-        lbs_weights=jnp.asarray(lbs_weights),
+        v_template=v_template,
+        shapedirs=rng.normal(scale=0.01,
+                             size=(num_vertices, 3, 10)).astype(np.float32),
+        posedirs=rng.normal(scale=0.001,
+                            size=(num_vertices, 3, 207)).astype(np.float32),
+        j_regressor=j_regressor.astype(np.float32),
+        lbs_weights=lbs_weights,
         parents=parents,
         faces=faces,
     )

@@ -80,11 +80,11 @@ class NoFTrainer(BaseTrainer):
         num_frames = self.num_frames
         optimizer = self.optimizer
         corr_table = ds.correspondence_table
-        norm_table = ds.table.norm_idx
         trainer = self
 
         def make_step(axis):
-            def step(params, opt_state, key, table_verts, table_chain):
+            def step(params, opt_state, key, table_verts, table_chain,
+                     norm_table):
                 from ..data.correspondence import CorrespondenceTable
                 table = CorrespondenceTable(table_verts, table_chain)
                 key = fold_key_if(axis, key)
@@ -115,7 +115,7 @@ class NoFTrainer(BaseTrainer):
                                  self.clock.step)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, key, self._corr.verts,
-            self._corr.src_to_cano)
+            self._corr.src_to_cano, self.train_dataset.table.norm_idx)
         return metrics
 
     def val_step(self):

@@ -168,8 +168,10 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
     norm_idx = jnp.asarray(
         frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
 
+    # params/anneal are explicit args: closure-captured device arrays would be
+    # fetched to host at lowering time (slow on tunneled backends)
     @jax.jit
-    def eval_tiles(tiles):
+    def eval_tiles(params, anneal, norm_idx, tiles):
         def one(pts):
             if warp:
                 pts = nof_points(params["bw_NoF"], statics, anneal, pts,
@@ -183,7 +185,8 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
     xyz = np.stack(np.meshgrid(lin, lin, lin), -1).reshape(-1, 3)
     pad = (-len(xyz)) % chunk
     xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
-    sig = np.asarray(eval_tiles(jnp.asarray(xyz.reshape(-1, chunk, 3))))
+    sig = np.asarray(eval_tiles(params, anneal, norm_idx,
+                                jnp.asarray(xyz.reshape(-1, chunk, 3))))
     sig = sig.reshape(-1)[:n_grid ** 3]
     return np.maximum(sig, 0).reshape(n_grid, n_grid, n_grid)
 
