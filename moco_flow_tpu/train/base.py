@@ -213,6 +213,36 @@ class BaseTrainer:
             flat[k] = vv
         return flat
 
+    def evaluate_sequence(self, max_frames: int | None = None,
+                          chunk: int = 16384) -> dict:
+        """Mean PSNR/SSIM (and the reference's dssim) over the validation
+        sequence — the quantities the reference computes but never publishes
+        (SURVEY.md §6, models/metrics.py)."""
+        from ..nn.metrics import dssim, psnr, ssim
+        ds = self.val_dataset
+        rcfg = getattr(self, "rcfg_val", None) or self.rcfg_train
+        n = ds.num_frames if max_frames is None else min(max_frames,
+                                                         ds.num_frames)
+        psnrs, ssims, dssims = [], [], []
+        for idx in range(n):
+            rays, _ = ds.frame_rays(idx)
+            rgbs = ds.frame_rgbs(idx)
+            if rgbs is None:
+                continue
+            res = self.render_rays_chunked(rays, ds.bkgd_img, rcfg,
+                                           anneal=self.anneal(), chunk=chunk)
+            typ = "rgb_fine" if "rgb_fine" in res else "rgb_coarse"
+            h, w = ds.size
+            pred = res[typ].reshape(h, w, 3).transpose(2, 0, 1)[None]
+            gt = rgbs.reshape(h, w, 3).transpose(2, 0, 1)[None]
+            psnrs.append(float(psnr(res[typ], rgbs)))
+            ssims.append(float(ssim(pred, gt)))
+            dssims.append(float(dssim(pred, gt)))
+        return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+                "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+                "dssim": float(np.mean(dssims)) if dssims else float("nan"),
+                "frames": len(psnrs)}
+
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
                             anneal=None, chunk: int = 16384) -> dict:
         """Render only hull-masked rays, scatter back, composite with the

@@ -64,6 +64,10 @@ def test(config: Config, args, smpl_data=None):
                        save_path=args.out_dir)
     if args.render_frame is not None:
         visualize_frame(trainer, args.render_frame, save_path=args.out_dir)
+    if args.eval_metrics:
+        import json
+        metrics = trainer.evaluate_sequence(max_frames=args.eval_max_frames)
+        print(json.dumps(metrics))
     return trainer
 
 
@@ -86,6 +90,9 @@ def main():
     args.add_argument("--N_grid", default=512, type=int)
     args.add_argument("--sigma_threshold", default=10, type=int)
     args.add_argument("--render_frame", default=None, type=int)
+    args.add_argument("--eval_metrics", action="store_true",
+                      help="compute mean PSNR/SSIM over the val sequence")
+    args.add_argument("--eval_max_frames", default=None, type=int)
     ns = args.parse_args()
     config = Config.from_args(ns, mode="test")
     test(config, ns)
