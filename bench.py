@@ -29,7 +29,7 @@ BASELINE_TRAIN_RAYS_PER_SEC = 2.0e4     # V100, derived (BASELINE.md)
 BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
 
 
-def build_trainer(root, save_dir, dtype, impl, mesh):
+def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024):
     from __graft_entry__ import _tiny_moco_config
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
@@ -40,7 +40,7 @@ def build_trainer(root, save_dir, dtype, impl, mesh):
     cfg["dataloader"]["size"] = [256, 256]
     cfg["dataloader"]["val_size"] = [256, 256]
     m = cfg["model"]
-    m.update({"N_rand": 1024, "N_samples": 128, "N_importance": 128,
+    m.update({"N_rand": n_rand, "N_samples": 128, "N_importance": 128,
               "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
               "perturb": 1.0})
     config = Config(cfg, mode="train")
@@ -88,6 +88,8 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--n_rand", type=int, default=1024,
+                    help="rays per step per chip (reference stage-3 shape: 1024)")
     args = ap.parse_args()
 
     # keep stdout clean for the single JSON line
@@ -96,7 +98,7 @@ def main():
             contextlib.redirect_stdout(chatter):
         trainer = build_trainer(os.path.join(tmp, "scene"),
                                 os.path.join(tmp, "log"), args.dtype,
-                                args.impl, mesh=None)
+                                args.impl, mesh=None, n_rand=args.n_rand)
         if args.mode == "train":
             value = bench_train(trainer, args.steps)
             metric = "train_rays_per_sec_per_chip"
