@@ -42,7 +42,7 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024):
     m = cfg["model"]
     m.update({"N_rand": n_rand, "N_samples": 128, "N_importance": 128,
               "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
-              "perturb": 1.0})
+              "perturb": 1.0, "remat": n_rand > 1024})
     config = Config(cfg, mode="train")
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 

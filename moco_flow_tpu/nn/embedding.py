@@ -48,22 +48,29 @@ def posenc(x: jnp.ndarray, n_freqs: int, logscale: bool = True,
         means all-ones (fully annealed).
 
     Returns:
-      ``(..., C * (2*n_freqs + 1))`` embedding laid out, per the reference
-      (models/embedding.py:42-46), as ``[x, w0*sin(f0 x), w0*cos(f0 x), ...]``
-      with each sin/cos block spanning all C channels.
+      ``(..., C * (2*n_freqs + 1))`` embedding laid out as
+      ``[x, sin(f0 x)..sin(f_{K-1} x), cos(f0 x)..cos(f_{K-1} x)]`` (each
+      sin_k/cos_k block spanning all C channels, weighted by ``weights[k]``).
+
+      Note: this is a *fixed permutation* of the reference's interleaved
+      layout (models/embedding.py:42-46: sin_k, cos_k pairs). Block layout
+      needs no interleaving stack+reshape — on TPU the whole embedding is two
+      transcendentals and one contiguous concat, with no relayout copies.
+      Feature order is internal (it only permutes first-layer weight rows),
+      and every component of this framework uses the same order.
     """
     if n_freqs == 0:
         return x
+    c = x.shape[-1]
     bands = jnp.asarray(freq_bands(n_freqs, logscale))  # (K,)
-    # (..., K, C): scale each channel by each band
-    scaled = x[..., None, :] * bands[..., :, None]
-    s, c = jnp.sin(scaled), jnp.cos(scaled)
-    # interleave per frequency: [sin_k, cos_k] pairs -> (..., K, 2, C)
-    sc = jnp.stack([s, c], axis=-2)
+    scaled = (x[..., None, :] * bands[..., :, None]).reshape(
+        *x.shape[:-1], n_freqs * c)  # freq-major, contiguous
+    s, co = jnp.sin(scaled), jnp.cos(scaled)
     if weights is not None:
-        sc = sc * weights[..., :, None, None]
-    flat = sc.reshape(*x.shape[:-1], 2 * n_freqs * x.shape[-1])
-    return jnp.concatenate([x, flat], axis=-1)
+        w = jnp.repeat(weights, c, total_repeat_length=n_freqs * c)
+        s = s * w
+        co = co * w
+    return jnp.concatenate([x, s, co], axis=-1)
 
 
 def anneal_weights(step: jnp.ndarray, n_freqs: int, start_iter: int,

@@ -92,6 +92,34 @@ def nerf_sigma(params: dict, x_emb: jnp.ndarray, cfg: NeRFConfig,
     return linear(params["sigma"], h, compute_dtype)
 
 
+def nerf_apply_perray_extra(params: dict, x_emb: jnp.ndarray,
+                            extra_emb: jnp.ndarray | None, n_samples: int,
+                            cfg: NeRFConfig, compute_dtype=None) -> jnp.ndarray:
+    """Like :func:`nerf_apply`, but the extra feature (view-dir or frame-index
+    embedding) stays at *ray* rank (N, E): its weight rows are applied per ray
+    and the result broadcast across samples — the (N*S, E) tensor is never
+    materialized (the reference repeat_interleaves it,
+    models/rendering.py:134-142)."""
+    h = nerf_trunk(params, x_emb, cfg, compute_dtype)
+    sigma = linear(params["sigma"], h, compute_dtype)
+    hf = linear(params["final"], h, compute_dtype)
+    we, be = params["extra"]["w"], params["extra"]["b"]
+    if cfg.extra_feat_type != "none":
+        assert extra_emb is not None
+        w_f, w_e = we[:cfg.width], we[cfg.width:]
+        per_ray = linear({"w": w_e, "b": jnp.zeros_like(be)}, extra_emb,
+                         compute_dtype)  # (N, W/2)
+        n = extra_emb.shape[0]
+        bcast = jnp.broadcast_to(per_ray[:, None, :],
+                                 (n, n_samples, per_ray.shape[-1])
+                                 ).reshape(-1, per_ray.shape[-1])
+        he = jax.nn.relu(linear({"w": w_f, "b": be}, hf, compute_dtype) + bcast)
+    else:
+        he = jax.nn.relu(linear(params["extra"], hf, compute_dtype))
+    rgb = jax.nn.sigmoid(linear(params["rgb"], he, compute_dtype))
+    return jnp.concatenate([rgb, sigma], axis=-1)
+
+
 def nerf_apply(params: dict, x_emb: jnp.ndarray, extra_emb: jnp.ndarray | None,
                cfg: NeRFConfig, compute_dtype=None) -> jnp.ndarray:
     """Full forward: (B, in_channels_xyz) [+ (B, extra_feat_dim)] -> (B, 4) rgb+sigma.

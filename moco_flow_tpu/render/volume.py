@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from ..nn.embedding import posenc
 from ..nn.losses import masked_mean
-from ..nn.nerf import NeRFConfig, nerf_apply, nerf_sigma
-from ..nn.nof import NoFConfig, nof_apply
+from ..nn.nerf import NeRFConfig, nerf_apply, nerf_apply_perray_extra, nerf_sigma
+from ..nn.nof import NoFConfig, nof_apply, nof_apply_split
 from .sampling import sample_pdf, stratified_zvals
 
 
@@ -73,6 +73,9 @@ class RenderConfig:
     test_time: bool = False
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mlp_impl: str = "xla"  # 'xla' | 'pallas'
+    remat: bool = False  # checkpoint each MLP eval: don't store trunk
+    # activations for backward (recompute instead) — cuts backward HBM
+    # residency ~8x, enabling much larger per-chip ray batches
 
     @property
     def dtype(self):
@@ -111,8 +114,14 @@ def _eval_nerf(params: dict, cfg: NeRFConfig, x_emb: jnp.ndarray,
         return nerf_fused(params, cfg, x_emb, extra_emb, sigma_only,
                           compute_dtype=rcfg.dtype)
     if sigma_only:
-        return nerf_sigma(params, x_emb, cfg, rcfg.dtype)
-    return nerf_apply(params, x_emb, extra_emb, cfg, rcfg.dtype)
+        fn = lambda p, x: nerf_sigma(p, x, cfg, rcfg.dtype)
+        if rcfg.remat:
+            fn = jax.checkpoint(fn)
+        return fn(params, x_emb)
+    fn = lambda p, x, e: nerf_apply(p, x, e, cfg, rcfg.dtype)
+    if rcfg.remat:
+        fn = jax.checkpoint(fn)
+    return fn(params, x_emb, extra_emb)
 
 
 def _eval_nof(params: dict, cfg: NoFConfig, inputs: jnp.ndarray,
@@ -120,7 +129,10 @@ def _eval_nof(params: dict, cfg: NoFConfig, inputs: jnp.ndarray,
     if rcfg.mlp_impl == "pallas":
         from ..ops.fused_mlp import nof_fused
         return nof_fused(params, cfg, inputs, xyz, compute_dtype=rcfg.dtype)
-    return nof_apply(params, inputs, xyz, cfg, rcfg.dtype)
+    fn = lambda p, i, x: nof_apply(p, i, x, cfg, rcfg.dtype)
+    if rcfg.remat:
+        fn = jax.checkpoint(fn)
+    return fn(params, inputs, xyz)
 
 
 # ---------------------------------------------------------------------------
@@ -143,10 +155,18 @@ def nof_warp(params: dict, statics: ModelStatics, anneal: dict,
     xyz_emb = embed_padded(flat, statics.nof_xyz, cfg.in_channels_xyz,
                            anneal.get("nof_xyz"))
     ind_emb = embed_padded(ind, statics.nof_ind, cfg.extra_feat_dim)  # (N, E)
-    ind_emb = jnp.broadcast_to(ind_emb[:, None, :], (n, s, cfg.extra_feat_dim))
-    inputs = jnp.concatenate([xyz_emb, ind_emb.reshape(-1, cfg.extra_feat_dim)],
-                             axis=-1)
-    out = _eval_nof(params, cfg, inputs, flat, rcfg)
+    if rcfg.mlp_impl == "pallas":
+        bc = jnp.broadcast_to(ind_emb[:, None, :], (n, s, cfg.extra_feat_dim))
+        inputs = jnp.concatenate(
+            [xyz_emb, bc.reshape(-1, cfg.extra_feat_dim)], axis=-1)
+        out = _eval_nof(params, cfg, inputs, flat, rcfg)
+    else:
+        # split path: the per-ray index embedding never reaches sample rank
+        fn = lambda p, xe, ie, fl: nof_apply_split(p, xe, ie, s, fl, cfg,
+                                                   rcfg.dtype)
+        if rcfg.remat:
+            fn = jax.checkpoint(fn)
+        out = fn(params, xyz_emb, ind_emb, flat)
     return out.reshape(n, s, 3)
 
 
@@ -216,8 +236,23 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
                                     rcfg.activation)
         return None, None, weights, alphas
 
-    extra = _extra_embedding(nerf_cfg, statics, ind, direction, n, s)
-    out = _eval_nerf(params, nerf_cfg, x_emb, extra, False, rcfg)
+    if rcfg.mlp_impl == "pallas":
+        extra = _extra_embedding(nerf_cfg, statics, ind, direction, n, s)
+        out = _eval_nerf(params, nerf_cfg, x_emb, extra, False, rcfg)
+    else:
+        # per-ray extra: embedded at ray rank, broadcast after its matmul
+        if nerf_cfg.extra_feat_type == "ind":
+            extra = embed_padded(ind, statics.nerf_ind, nerf_cfg.extra_feat_dim)
+        elif nerf_cfg.extra_feat_type == "dir":
+            extra = embed_padded(direction, statics.nerf_dir,
+                                 nerf_cfg.extra_feat_dim)
+        else:
+            extra = None
+        fn = lambda p, x, e: nerf_apply_perray_extra(p, x, e, s, nerf_cfg,
+                                                     rcfg.dtype)
+        if rcfg.remat:
+            fn = jax.checkpoint(fn)
+        out = fn(params, x_emb, extra)
     out = out.reshape(n, s, 4)
     rgbs, sigmas = out[..., :3], out[..., 3]
     alphas, weights = composite(sigmas, z_vals, dir_norm, noise, rcfg.activation)

@@ -72,4 +72,5 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         test_time=test_time,
         compute_dtype=compute_dtype or model_cfg.get("compute_dtype", "float32"),
         mlp_impl=mlp_impl or model_cfg.get("mlp_impl", "xla"),
+        remat=bool(model_cfg.get("remat", False)) and not test_time,
     )

@@ -123,9 +123,6 @@ class MoCoFlowTrainer(BaseTrainer):
         }
         self.img_loss_kind = loss_cfg["img_loss"].get("type", "MSE")
         self.nof_loss_kind = loss_cfg["nof_loss"].get("type", "L1")
-        # rematerialize the render in backward: ~4x less HBM for residuals,
-        # enabling larger N_rand per chip at ~5% extra compute
-        self.remat = bool(model_config.get("remat", False))
 
     def configure_optimizers(self, optimizer_config, scheduler_config):
         self.opt_moco = make_optimizer(optimizer_config["moco"], scheduler_config)
@@ -181,14 +178,8 @@ class MoCoFlowTrainer(BaseTrainer):
         (ref _shared_step :307-379)."""
         statics, rcfg, w = self.statics, self.rcfg_train, self.w
         losses = {}
-        if self.remat:
-            render = jax.checkpoint(
-                lambda p, r, b: render_rays(p, statics, anneal, r, b, key,
-                                            rcfg))
-        else:
-            render = lambda p, r, b: render_rays(p, statics, anneal, r, b,
-                                                 key, rcfg)
-        res = render(params, rays, bg)
+        # per-MLP rematerialization is governed by rcfg.remat (model.remat)
+        res = render_rays(params, statics, anneal, rays, bg, key, rcfg)
         losses["img_loss"] = image_loss(res, rgbs, self.img_loss_kind) * w["img"]
         if self.chain_local:
             v = res["nof_local_disp_coarse"]

@@ -65,7 +65,6 @@ class NeRFTrainer(BaseTrainer):
         loss_kind = self.loss_kind
         optimizer = self.optimizer
         rand_bkgd, has_alpha = ds.rand_bkgd, ds.has_alpha
-        remat = bool(self.config["model"].get("remat", False))
 
         def make_step(axis):
             def step(params, opt_state, key, table, directions, images, bkgd):
@@ -76,13 +75,9 @@ class NeRFTrainer(BaseTrainer):
                     table, directions, images, bkgd, frame, k_r, n_rand,
                     rand_bkgd, has_alpha)
 
-                render = (lambda p: render_rays(p, statics, {}, rays, bg,
-                                                k_render, rcfg))
-                if remat:
-                    render = jax.checkpoint(render)
-
                 def loss_fn(p):
-                    res = render(p)
+                    # per-MLP remat via rcfg.remat (model.remat)
+                    res = render_rays(p, statics, {}, rays, bg, k_render, rcfg)
                     loss = image_loss(res, rgbs, loss_kind)
                     typ = "rgb_fine" if "rgb_fine" in res else "rgb_coarse"
                     return loss, psnr(res[typ], rgbs)

@@ -6,16 +6,15 @@ from moco_flow_tpu.nn.embedding import anneal_weights, freq_bands, out_channels,
 
 
 def ref_posenc(x, n_freqs, logscale=True, weights=None):
-    """Independent numpy oracle following the published layout:
-    [x, w0 sin(f0 x), w0 cos(f0 x), w1 sin(f1 x), ...]."""
+    """Numpy oracle of the block layout:
+    [x, w0 sin(f0 x).. , w0 cos(f0 x)..] (sin block then cos block —
+    a fixed permutation of the reference's interleaved layout)."""
     if weights is None:
         weights = [1.0] * n_freqs
     bands = freq_bands(n_freqs, logscale)
-    out = [x]
-    for w, f in zip(weights, bands):
-        out.append(w * np.sin(f * x))
-        out.append(w * np.cos(f * x))
-    return np.concatenate(out, axis=-1)
+    sins = [w * np.sin(f * x) for w, f in zip(weights, bands)]
+    coss = [w * np.cos(f * x) for w, f in zip(weights, bands)]
+    return np.concatenate([x] + sins + coss, axis=-1)
 
 
 def test_posenc_matches_oracle():
@@ -33,8 +32,8 @@ def test_posenc_weights():
     got = np.asarray(posenc(jnp.asarray(x), 3, True, jnp.asarray(w)))
     want = ref_posenc(x, 3, True, w)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-    # zeroed band really is zero
-    assert np.all(got[:, 5:] == 0)
+    # zeroed band really is zero (sin_2 at col 3, cos_2 at col 6 in block layout)
+    assert np.all(got[:, 3] == 0) and np.all(got[:, 6] == 0)
 
 
 def test_posenc_zero_freqs_identity():
