@@ -67,18 +67,22 @@ def sample_pdf(key: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,
     else:
         u = jax.random.uniform(key, (n_rays, n_importance))
 
-    # batched right-searchsorted as a broadcast compare + count: for small bin
-    # counts this is VPU-parallel and ~10x faster on TPU than the per-element
-    # binary search jnp.searchsorted lowers to
-    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32),
-                   axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=1)
-    bins_below = jnp.take_along_axis(bins, below, axis=1)
-    bins_above = jnp.take_along_axis(bins, above, axis=1)
+    # Gather-free inverse CDF, built for the TPU VPU. ``cdf`` is sorted, so
+    # the right-searchsorted mask M[n,i,j] = (cdf[n,j] <= u[n,i]) is a prefix
+    # mask, and the four index gathers of the classic implementation
+    # (cdf/bins at below/above) are masked max/min reductions over M — XLA
+    # fuses them with the comparison, where take_along_axis lowers to scalar
+    # gathers (~21 ms each at 16k x 128 on v5e; see PERF.md).
+    big = jnp.asarray(jnp.finfo(cdf.dtype).max, cdf.dtype)
+    m = cdf[:, None, :] <= u[:, :, None]  # (N, I, B+1), prefix along j
+    # below = last j with M set (>= 0 since cdf[0] = 0); cdf, bins ascending
+    cdf_below = jnp.max(jnp.where(m, cdf[:, None, :], 0.0), axis=-1)
+    bins_below = jnp.max(jnp.where(m, bins[:, None, :], -big), axis=-1)
+    # above = first j with M clear; if none (u >= cdf max), clamp to the last
+    cdf_above = jnp.min(jnp.where(m, big, cdf[:, None, :]), axis=-1)
+    cdf_above = jnp.minimum(cdf_above, cdf[:, -1:])
+    bins_above = jnp.min(jnp.where(m, big, bins[:, None, :]), axis=-1)
+    bins_above = jnp.minimum(bins_above, bins[:, -1:])
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
