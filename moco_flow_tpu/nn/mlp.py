@@ -29,24 +29,29 @@ def init_linear(key: jax.Array, in_dim: int, out_dim: int,
     return {"w": w, "b": b}
 
 
-def linear(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def linear(params: dict, x: jnp.ndarray, compute_dtype=None,
+           out_dtype=None) -> jnp.ndarray:
     """``x @ W + b`` with optional low-precision matmul.
 
-    With ``compute_dtype=bfloat16`` the operands are cast to bf16 but the MXU
-    accumulates in fp32 (``preferred_element_type``), which is the TPU-native
-    mixed-precision recipe.
+    With ``compute_dtype=bfloat16`` the operands are cast to bf16 while the
+    MXU accumulates in fp32; ``out_dtype`` controls the emitted activation
+    dtype (fp32 by default — heads; hidden layers emit ``compute_dtype`` so
+    the trunk never round-trips casts through HBM).
     """
     w, b = params["w"], params["b"]
     if compute_dtype is not None and x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
+    if compute_dtype is not None and w.dtype != compute_dtype:
         w = w.astype(compute_dtype)
     y = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype or jnp.float32,
     )
-    return y + b
+    return y + b.astype(y.dtype)
 
 
 def linear_relu(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    return jax.nn.relu(linear(params, x, compute_dtype))
+    """Hidden layer: activation stays in the compute dtype."""
+    return jax.nn.relu(linear(params, x, compute_dtype,
+                              out_dtype=compute_dtype))

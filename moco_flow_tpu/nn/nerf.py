@@ -77,6 +77,8 @@ def sigma_branch_params(params: dict) -> dict:
 
 def nerf_trunk(params: dict, x_emb: jnp.ndarray, cfg: NeRFConfig,
                compute_dtype=None) -> jnp.ndarray:
+    if compute_dtype is not None:
+        x_emb = x_emb.astype(compute_dtype)  # one cast; skip concat stays low-p
     h = x_emb
     for i in range(cfg.depth):
         if i in cfg.skips:

@@ -99,12 +99,15 @@ def nof_apply_split(params: dict, xyz_emb: jnp.ndarray, ind_emb: jnp.ndarray,
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
             w = w.astype(compute_dtype)
-        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=compute_dtype or jnp.float32)
 
     h = None
     for i in range(cfg.depth):
         w, b = params["layers"][i]["w"], params["layers"][i]["b"]
+        if compute_dtype is not None:
+            b = b.astype(compute_dtype)
         if i == 0:
             h = jax.nn.relu(dotp(xyz_emb, w[:cx]) +
                             bcast(dotp(ind_emb, w[cx:])) + b)
