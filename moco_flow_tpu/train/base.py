@@ -174,15 +174,27 @@ class BaseTrainer:
         key_ = (rcfg, chunk)
         if key_ not in self._render_fns:
             statics = self.statics
+            mesh = self.mesh
 
-            @functools.partial(jax.jit, static_argnames=())
-            def fn(params, anneal, rays_tiles, bkgd_tiles, key):
+            def body(params, anneal, rays_tiles, bkgd_tiles, key):
                 def one(args):
                     rays, bkgd = args
                     return render_rays(params, statics, anneal, rays, bkgd,
                                        key, rcfg)
                 return jax.lax.map(one, (rays_tiles, bkgd_tiles))
 
+            if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+                # shard the tile axis across the mesh: rays are embarrassingly
+                # parallel, so test-time render scales linearly with chips
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS
+                fn = jax.jit(shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    out_specs=P(DATA_AXIS)))
+            else:
+                fn = jax.jit(body)
             self._render_fns[key_] = fn
         return self._render_fns[key_]
 
@@ -202,10 +214,21 @@ class BaseTrainer:
             [bg, jnp.broadcast_to(bg[-1:], (pad, 3))]) if pad else bg
         tiles = rays_p.reshape(-1, chunk, rays_p.shape[1])
         bg_tiles = bg_p.reshape(-1, chunk, 3)
+        n_tiles = tiles.shape[0]
+        if self.world_size > 1:  # tile axis is sharded across the mesh
+            tpad = (-n_tiles) % self.world_size
+            if tpad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.broadcast_to(tiles[-1:],
+                                             (tpad, *tiles.shape[1:]))])
+                bg_tiles = jnp.concatenate(
+                    [bg_tiles, jnp.broadcast_to(bg_tiles[-1:],
+                                                (tpad, chunk, 3))])
         out = self._chunk_render_fn(rcfg, chunk)(
             self.params, anneal or {}, tiles, bg_tiles, key)
         flat = {}
         for k, v in out.items():
+            v = v[:n_tiles]
             if v.ndim >= 2 and v.shape[1] == chunk:
                 vv = v.reshape(-1, *v.shape[2:])[:n]
             else:  # per-chunk scalars (consensus terms): average
