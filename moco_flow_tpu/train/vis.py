@@ -151,6 +151,37 @@ def visualize_video(trainer, vis_novel_view=True, save_path=None):
     save_video(osp.join(osp.dirname(img_dir), "video.mp4"), frames)
 
 
+def visualize_bullet_time(trainer, frame_idx: int, save_path=None,
+                          radius: float | None = None,
+                          move_dist: float = 0.5):
+    """Bullet-time track around one frozen frame: orbit, zoom in, zoom out
+    (poses from geometry.poses.create_bullet_effect_poses — the reference
+    ships the pose util, vis_utils.py:121-130, without a CLI)."""
+    from ..geometry.poses import create_bullet_effect_poses
+    ds = trainer.val_dataset
+    idx = frame_idx if frame_idx != -1 else 0
+    nof = frame_idx != -1
+    if radius is None:
+        c2w = ds.frame_c2w4(idx)
+        radius = float(np.linalg.norm(c2w[:3, 3]))
+    poses = create_bullet_effect_poses(radius=radius, move_dist=move_dist)
+    save_path = save_path or trainer.config.log_dir
+    name = f"frame_{frame_idx}" if frame_idx != -1 else "canonical"
+    img_dir = osp.join(
+        save_path,
+        f"bullet_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
+        f"{name}_images")
+    os.makedirs(img_dir, exist_ok=True)
+    frames = []
+    for i, pose in enumerate(poses):
+        img, depth = _render_view(trainer, ds, idx, c2w4=pose,
+                                  white_bkgd=True, use_nof=nof)
+        strip = np.concatenate([img, depth], axis=1)
+        save_image(osp.join(img_dir, f"{i:04d}.png"), strip)
+        frames.append((np.clip(strip, 0, 1) * 255).astype(np.uint8))
+    save_video(img_dir.replace("_images", "_video.mp4"), frames)
+
+
 # ---------------------------------------------------------------------------
 # Mesh extraction
 # ---------------------------------------------------------------------------

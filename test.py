@@ -20,6 +20,7 @@ import os.path as osp
 from moco_flow_tpu.train import get_trainer
 from moco_flow_tpu.train.checkpoint import find_latest_checkpoint
 from moco_flow_tpu.train.vis import (
+    visualize_bullet_time,
     visualize_frame,
     visualize_mesh,
     visualize_spherical,
@@ -58,6 +59,9 @@ def test(config: Config, args, smpl_data=None):
     if args.render_spherical_poses:
         visualize_spherical(trainer, args.spherical_poses_frame,
                             save_path=args.out_dir)
+    if args.render_bullet_time:
+        visualize_bullet_time(trainer, args.bullet_time_frame,
+                              save_path=args.out_dir)
     if args.extract_mesh:
         visualize_mesh(trainer, args.mesh_frame, n_grid=args.N_grid,
                        sigma_threshold=args.sigma_threshold,
@@ -85,6 +89,8 @@ def main():
     args.add_argument("--render_training_poses", action="store_true")
     args.add_argument("--render_spherical_poses", action="store_true")
     args.add_argument("--spherical_poses_frame", default=-1, type=int)
+    args.add_argument("--render_bullet_time", action="store_true")
+    args.add_argument("--bullet_time_frame", default=0, type=int)
     args.add_argument("--extract_mesh", action="store_true")
     args.add_argument("--mesh_frame", default=-1, type=int)
     args.add_argument("--N_grid", default=512, type=int)

@@ -101,7 +101,8 @@ def test_testpy_dispatch(scene, tmp_path):
         test_json=None, render_training_poses=False,
         render_spherical_poses=False, spherical_poses_frame=-1,
         extract_mesh=True, mesh_frame=-1, N_grid=24, sigma_threshold=0.0,
-        render_frame=1, eval_metrics=True, eval_max_frames=1)
+        render_frame=1, eval_metrics=True, eval_max_frames=1,
+        render_bullet_time=False, bullet_time_frame=0)
     cfg_t = Config(dict(raw), mode="test", make_dirs=False)
     t = run_test(cfg_t, args, smpl_data=smpl)
     assert t.clock.step >= 1  # checkpoint was found and loaded
