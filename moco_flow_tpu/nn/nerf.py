@@ -104,18 +104,21 @@ def nerf_apply_perray_extra(params: dict, x_emb: jnp.ndarray,
     models/rendering.py:134-142)."""
     h = nerf_trunk(params, x_emb, cfg, compute_dtype)
     sigma = linear(params["sigma"], h, compute_dtype)
-    hf = linear(params["final"], h, compute_dtype)
+    hf = linear(params["final"], h, compute_dtype,
+                out_dtype=compute_dtype)  # intermediate: stays low-precision
     we, be = params["extra"]["w"], params["extra"]["b"]
     if cfg.extra_feat_type != "none":
         assert extra_emb is not None
         w_f, w_e = we[:cfg.width], we[cfg.width:]
         per_ray = linear({"w": w_e, "b": jnp.zeros_like(be)}, extra_emb,
-                         compute_dtype)  # (N, W/2)
+                         compute_dtype, out_dtype=compute_dtype)  # (N, W/2)
         n = extra_emb.shape[0]
         bcast = jnp.broadcast_to(per_ray[:, None, :],
                                  (n, n_samples, per_ray.shape[-1])
                                  ).reshape(-1, per_ray.shape[-1])
-        he = jax.nn.relu(linear({"w": w_f, "b": be}, hf, compute_dtype) + bcast)
+        he = jax.nn.relu(
+            linear({"w": w_f, "b": be}, hf, compute_dtype,
+                   out_dtype=compute_dtype) + bcast)
     else:
         he = jax.nn.relu(linear(params["extra"], hf, compute_dtype))
     rgb = jax.nn.sigmoid(linear(params["rgb"], he, compute_dtype))
