@@ -248,3 +248,15 @@ def test_stage1_data_parallel(scene, tmp_path):
     first = np.mean([m["img_loss"] for m in metrics[:3]])
     last = np.mean([m["img_loss"] for m in metrics[-3:]])
     assert np.isfinite(last) and last < first
+
+
+def test_stage2_data_parallel(scene, tmp_path):
+    """NoF pretraining on an 8-device mesh: converges with psum'd grads."""
+    root, smpl = scene
+    cfg = Config(nof_config(root, str(tmp_path)), mode="train")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=make_mesh(8))
+    assert trainer.world_size == 8
+    metrics = run_steps(trainer, 15)
+    first = float(metrics[0]["nof_bw"]) + float(metrics[0]["nof_fw"])
+    last = float(metrics[-1]["nof_bw"]) + float(metrics[-1]["nof_fw"])
+    assert np.isfinite(last) and last < first
