@@ -83,7 +83,8 @@ def bench_render(trainer, steps: int) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="train", choices=["train", "render"])
+    ap.add_argument("--mode", default="both",
+                    choices=["train", "render", "both"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
@@ -99,25 +100,34 @@ def main():
         trainer = build_trainer(os.path.join(tmp, "scene"),
                                 os.path.join(tmp, "log"), args.dtype,
                                 args.impl, mesh=None, n_rand=args.n_rand)
-        if args.mode == "train":
-            value = bench_train(trainer, args.steps)
+        render_value = None
+        if args.mode in ("render", "both"):
+            render_value = bench_render(
+                trainer, max(args.steps // 4, 3)) / trainer.world_size
+        if args.mode in ("train", "both"):
+            value = bench_train(trainer, args.steps) / trainer.world_size
             metric = "train_rays_per_sec_per_chip"
             base = BASELINE_TRAIN_RAYS_PER_SEC
         else:
-            value = bench_render(trainer, args.steps)
+            value = render_value
             metric = "render_rays_per_sec_per_chip"
             base = BASELINE_RENDER_RAYS_PER_SEC
-        value = value / trainer.world_size
     print(chatter.getvalue(), file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(value / base, 3),
         "config": {"mode": args.mode, "dtype": args.dtype, "impl": args.impl,
                    "step_shape": "1024 rays x (128+128) samples, chain+nof+msk"
-                   if args.mode == "train" else "full-frame test render"},
-    }))
+                   if args.mode != "render" else "full-frame test render"},
+    }
+    if args.mode == "both" and render_value is not None:
+        # second axis recorded in the same (single) JSON line
+        out["render_rays_per_sec_per_chip"] = round(render_value, 1)
+        out["render_vs_baseline"] = round(
+            render_value / BASELINE_RENDER_RAYS_PER_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -301,7 +301,15 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     img_ind = rays[:, 8:9]
-    chained_ind = rays[:, 9:10] if (rcfg.use_nof and rcfg.chain_global) else None
+    if rcfg.use_nof and rcfg.chain_global:
+        # guard against a silent (N, 0) slice when a caller passes 9-wide
+        # frame rays with chain_global on (the chained index is column 9)
+        assert rays.shape[-1] >= 10, (
+            f"chain_global needs 10-wide rays (got {rays.shape[-1]}): "
+            "append the chained-frame index column")
+        chained_ind = rays[:, 9:10]
+    else:
+        chained_ind = None
 
     z_vals = stratified_zvals(k_perturb, near, far, rcfg.n_samples,
                               rcfg.use_disp, rcfg.perturb)

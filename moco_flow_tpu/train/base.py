@@ -128,20 +128,48 @@ class BaseTrainer:
     def load_extra_state(self, extra: dict) -> None:
         pass
 
+    @staticmethod
+    def _opt_named_leaves(opt_state) -> dict:
+        """Optimizer state as ``{keystr(path): leaf}`` — named paths (optax
+        NamedTuple fields + param-tree keys), so restores survive structural
+        drift instead of silently dropping everything."""
+        flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        return {jax.tree_util.keystr(p): leaf for p, leaf in flat}
+
     def save_ckpt(self, name=None):
         tree = {"params": self.params}
         if self.opt_state is not None:
-            leaves = jax.tree_util.tree_leaves(self.opt_state)
-            tree["opt"] = {"leaves": [np.asarray(l) for l in leaves]}
+            tree["opt_named"] = {
+                k: np.asarray(v)
+                for k, v in self._opt_named_leaves(self.opt_state).items()}
         save_checkpoint(self._ckpt_path(name), tree,
                         extra={"clock": self.clock.make_checkpoint(),
                                **self.extra_state()})
         self.record_str(f"saved checkpoint {self._ckpt_path(name)}")
 
-    def load_ckpt(self, path, restore_clock=True, restore_optimizer=True):
-        tree, extra = load_checkpoint(path)
-        self.params = merge_into(self.params, tree.get("params", tree))
-        if restore_optimizer and self.opt_state is not None and "opt" in tree:
+    def _restore_opt_state(self, tree) -> None:
+        if "opt_named" in tree:
+            loaded = tree["opt_named"]
+            paths, treedef = jax.tree_util.tree_flatten_with_path(
+                self.opt_state)
+            out, missed = [], 0
+            for path, cur in paths:
+                k = jax.tree_util.keystr(path)
+                v = loaded.get(k)
+                if v is not None and getattr(v, "shape", None) == \
+                        getattr(cur, "shape", None):
+                    out.append(jnp.asarray(v).astype(cur.dtype)
+                               if hasattr(cur, "dtype") else v)
+                else:
+                    out.append(cur)
+                    missed += 1
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, out)
+            if missed:
+                self.record_str(
+                    f"optimizer state: {missed}/{len(paths)} leaves not in "
+                    "checkpoint (kept at init, strict=False)")
+            return
+        if "opt" in tree:  # legacy anonymous-leaves format
             loaded = tree["opt"]["leaves"]
             treedef = jax.tree_util.tree_structure(self.opt_state)
             cur = jax.tree_util.tree_leaves(self.opt_state)
@@ -152,6 +180,12 @@ class BaseTrainer:
             else:
                 self.record_str("optimizer state in checkpoint does not match; "
                                 "skipping (strict=False)")
+
+    def load_ckpt(self, path, restore_clock=True, restore_optimizer=True):
+        tree, extra = load_checkpoint(path)
+        self.params = merge_into(self.params, tree.get("params", tree))
+        if restore_optimizer and self.opt_state is not None:
+            self._restore_opt_state(tree)
         if restore_clock and "clock" in extra:
             self.clock.restore_checkpoint(extra["clock"])
         self.load_extra_state(extra)
@@ -241,12 +275,16 @@ class BaseTrainer:
         """Mean PSNR/SSIM (and the reference's dssim) over the validation
         sequence — the quantities the reference computes but never publishes
         (SURVEY.md §6, models/metrics.py)."""
+        from ..nn import lpips as lpips_mod
         from ..nn.metrics import dssim, psnr, ssim
         ds = self.val_dataset
         rcfg = getattr(self, "rcfg_val", None) or self.rcfg_train
         n = ds.num_frames if max_frames is None else min(max_frames,
                                                          ds.num_frames)
-        psnrs, ssims, dssims = [], [], []
+        lp_weights = None
+        if lpips_mod.available():
+            lp_weights = lpips_mod.load_weights()
+        psnrs, ssims, dssims, lpipss = [], [], [], []
         for idx in range(n):
             rays, _ = ds.frame_rays(idx)
             rgbs = ds.frame_rgbs(idx)
@@ -261,10 +299,16 @@ class BaseTrainer:
             psnrs.append(float(psnr(res[typ], rgbs)))
             ssims.append(float(ssim(pred, gt)))
             dssims.append(float(dssim(pred, gt)))
-        return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
-                "ssim": float(np.mean(ssims)) if ssims else float("nan"),
-                "dssim": float(np.mean(dssims)) if dssims else float("nan"),
-                "frames": len(psnrs)}
+            if lp_weights is not None:
+                lpipss.append(float(lpips_mod.lpips(
+                    lp_weights, jnp.asarray(pred), jnp.asarray(gt))[0]))
+        out = {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+               "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+               "dssim": float(np.mean(dssims)) if dssims else float("nan"),
+               "frames": len(psnrs)}
+        if lpipss:
+            out["lpips"] = float(np.mean(lpipss))
+        return out
 
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
                             anneal=None, chunk: int = 16384) -> dict:

@@ -63,11 +63,15 @@ def save_checkpoint(path: str, tree, extra: dict | None = None) -> None:
     flat = _flatten(jax.device_get(tree))
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
+    # commit the .npz BEFORE the sidecar: a crash between the two renames
+    # then leaves a fresh .npz with a stale/missing sidecar (auto-resume
+    # ranks it conservatively low) rather than a fresh sidecar pointing at a
+    # stale .npz, which could out-rank a good numbered checkpoint
+    os.replace(tmp, path + ".npz")
     if extra is not None:
         with open(path + ".json.tmp", "w") as f:
             json.dump(extra, f)
         os.replace(path + ".json.tmp", path + ".json")
-    os.replace(tmp, path + ".npz")
 
 
 def load_checkpoint(path: str):

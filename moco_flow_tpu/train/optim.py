@@ -56,6 +56,47 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init, update)
 
 
+class AdamWWarmupState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Params
+    nu: optax.Params
+
+
+def adamw_warmup(learning_rate, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, weight_decay: float = 0.0,
+                 warmup: int = 0) -> optax.GradientTransformation:
+    """The reference's custom AdamW (utils/optimizers.py:173-244): Adam with
+    decoupled weight decay AND a linear LR warmup baked into the step —
+    ``slr = 1e-8 + t*lr/warmup`` for ``t < warmup`` — where both the decay
+    term and the Adam step are scaled by the warmed-up LR."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return AdamWWarmupState(jnp.zeros((), jnp.int32),
+                                jax.tree.map(z, params),
+                                jax.tree.map(z, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        lr = (learning_rate(count) if callable(learning_rate)
+              else learning_rate)
+        t = count.astype(jnp.float32)
+        slr = jnp.where(t < warmup, 1e-8 + t * lr / max(warmup, 1), lr) \
+            if warmup else lr
+        step_size = slr * jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        upd = jax.tree.map(
+            lambda m, v, p: -step_size * m / (jnp.sqrt(v) + eps)
+            - weight_decay * slr * p,
+            mu, nu, params)
+        return upd, AdamWWarmupState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_schedule(scheduler_config: dict | None, base_lr: float,
                   world_size: int = 1):
     """LR as a pure function of the global step (ref base.py:142-160)."""
@@ -99,6 +140,9 @@ def make_optimizer(optimizer_config: dict, scheduler_config: dict | None = None,
         if wd:
             return optax.adamw(lr, eps=eps, weight_decay=wd)
         return optax.adam(lr, eps=eps)
+    if kind == "adamw":
+        return adamw_warmup(lr, eps=eps, weight_decay=wd,
+                            warmup=int(optimizer_config.get("warmup", 0)))
     if kind == "radam":
         opt = optax.radam(lr, eps=eps)
         if wd:

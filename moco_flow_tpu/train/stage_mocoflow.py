@@ -106,9 +106,12 @@ class MoCoFlowTrainer(BaseTrainer):
         self.rcfg_train = render_config(
             model_config, use_nof=True, chain_local=self.chain_local,
             chain_global=self.chain_global)
+        # val only consumes rgb/psnr/ssim: chain losses off (frame rays carry
+        # no chained-index column, and the consensus scalars would be wasted
+        # NoF passes on a bogus frame index)
         self.rcfg_val = render_config(
-            model_config, use_nof=True, chain_local=self.chain_local,
-            chain_global=self.chain_global, perturb=0.0)
+            model_config, use_nof=True, chain_local=False,
+            chain_global=False, perturb=0.0)
         self.rcfg_test = render_config(model_config, use_nof=True,
                                        test_time=True, perturb=0.0)
         self.rcfg_test_cano = render_config(model_config, use_nof=False,
@@ -125,8 +128,15 @@ class MoCoFlowTrainer(BaseTrainer):
         self.nof_loss_kind = loss_cfg["nof_loss"].get("type", "L1")
 
     def configure_optimizers(self, optimizer_config, scheduler_config):
-        self.opt_moco = make_optimizer(optimizer_config["moco"], scheduler_config)
-        self.opt_nof = make_optimizer(optimizer_config["nof"], scheduler_config)
+        # milestones are divided by world_size so LR decay lands at the same
+        # *global* step under DP (ref trainer/base.py:147: optax counts
+        # optimizer updates while the clock ticks by world_size)
+        self.opt_moco = make_optimizer(optimizer_config["moco"],
+                                       scheduler_config,
+                                       world_size=self.world_size)
+        self.opt_nof = make_optimizer(optimizer_config["nof"],
+                                      scheduler_config,
+                                      world_size=self.world_size)
         nof_sub = self._nof_subtree(self.params)
         self.opt_state = {
             "moco": self.opt_moco.init(self.params),
@@ -311,6 +321,11 @@ class MoCoFlowTrainer(BaseTrainer):
             ds.directions_flat, ds.images, ds.bkgd_img, self._corr.verts,
             self._corr.src_to_cano)
         metrics["state/nerf"] = 0.0 if freeze else 1.0
+        if self.logger is not None and \
+                step % self.config["trainer"].get("log_freq", 100) == 0:
+            # PE-annealing weight histograms (ref trainer_moco_flow.py:384-388)
+            for name, w in self.anneal(step).items():
+                self.logger.histogram(f"weights/{name}", w, step)
         return metrics
 
     # ------------------------------------------------------------------

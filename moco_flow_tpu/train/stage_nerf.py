@@ -45,6 +45,9 @@ class NeRFTrainer(BaseTrainer):
         self.loss_kind = self.config["loss"].get("type", "MSE") \
             if isinstance(self.config["loss"], dict) else "MSE"
         self.rcfg_train = render_config(model_config)
+        # deterministic validation sampling (perturb=0) so val PSNR is not
+        # noised by stratified jitter — stage 3 already does this
+        self.rcfg_val = render_config(model_config, perturb=0.0)
         self.rcfg_test = render_config(model_config, test_time=True, perturb=0.0)
         if model_config.get("pretrained_path"):
             tree, _ = load_checkpoint(model_config["pretrained_path"])
@@ -52,7 +55,8 @@ class NeRFTrainer(BaseTrainer):
             self.params = merge_into(self.params, tree.get("params", tree))
 
     def configure_optimizers(self, optimizer_config, scheduler_config):
-        self.optimizer = make_optimizer(optimizer_config, scheduler_config)
+        self.optimizer = make_optimizer(optimizer_config, scheduler_config,
+                                        world_size=self.world_size)
         self.opt_state = self.optimizer.init(self.params)
 
     # ------------------------------------------------------------------
@@ -113,7 +117,7 @@ class NeRFTrainer(BaseTrainer):
         if rgbs is None:
             return {}
         bg = ds.bkgd_img
-        res = self.render_rays_chunked(rays, bg, self.rcfg_train,
+        res = self.render_rays_chunked(rays, bg, self.rcfg_val,
                                        anneal=self.anneal())
         typ = "rgb_fine" if "rgb_fine" in res else "rgb_coarse"
         h, w = ds.size

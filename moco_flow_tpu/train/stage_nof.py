@@ -59,7 +59,8 @@ class NoFTrainer(BaseTrainer):
             self.params = merge_into(self.params, tree.get("params", tree))
 
     def configure_optimizers(self, optimizer_config, scheduler_config):
-        self.optimizer = make_optimizer(optimizer_config, scheduler_config)
+        self.optimizer = make_optimizer(optimizer_config, scheduler_config,
+                                        world_size=self.world_size)
         self.opt_state = self.optimizer.init(self.params)
 
     # ------------------------------------------------------------------

@@ -46,6 +46,19 @@ class WorkLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def histogram(self, tag: str, values, step: int):
+        """PE-annealing weight histograms on log steps (the reference logs
+        these per embedding, trainer_moco_flow.py:384-388). Falls back to a
+        jsonl record of the raw vector when TensorBoard is absent."""
+        import numpy as np
+        values = np.asarray(values)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, step)
+        self._jsonl.write(json.dumps(
+            {"step": step, "time": time.time(),
+             f"hist/{tag}": [float(v) for v in values.ravel()]}) + "\n")
+        self._jsonl.flush()
+
     def image(self, tag: str, img, step: int):
         """img: (H, W, 3) float [0,1]."""
         if self._tb is not None:

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Profile the render/train hot path on the real TPU and print the op-level
+time breakdown (the PERF.md workflow: jax.profiler trace -> ProfileData).
+
+    python scripts/profile_hotpath.py --mode render --steps 3
+    python scripts/profile_hotpath.py --mode train  --steps 3
+
+Prints the top-K XLA ops by self time, grouped by fusion kind, so kernel work
+targets measured cost, not guesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def trace_once(mode: str, steps: int, dtype: str, impl: str, n_rand: int,
+               trace_dir: str) -> None:
+    import jax
+    from bench import bench_render, bench_train, build_trainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = build_trainer(os.path.join(tmp, "scene"),
+                                os.path.join(tmp, "log"), dtype, impl,
+                                mesh=None, n_rand=n_rand)
+        # compile outside the trace
+        if mode == "train":
+            bench_train(trainer, 1)
+        else:
+            bench_render(trainer, 1)
+        with jax.profiler.trace(trace_dir):
+            if mode == "train":
+                bench_train(trainer, steps)
+            else:
+                bench_render(trainer, steps)
+
+
+def summarize(trace_dir: str, top_k: int = 40) -> None:
+    from jax.profiler import ProfileData
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {trace_dir}"
+    pd = ProfileData.from_file(paths[0])
+    per_op = collections.Counter()
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                dur = ev.duration_ns
+                name = ev.name
+                per_op[name] += dur
+    total = sum(per_op.values())
+    print(f"total device time: {total/1e6:.1f} ms over {len(per_op)} op names")
+    for name, ns in per_op.most_common(top_k):
+        print(f"{ns/1e6:9.2f} ms  {100*ns/total:5.1f}%  {name[:120]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="render", choices=["train", "render"])
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--impl", default="xla")
+    ap.add_argument("--n_rand", type=int, default=1024)
+    ap.add_argument("--trace_dir", default="/tmp/mocoflow_trace")
+    ap.add_argument("--summarize_only", action="store_true")
+    args = ap.parse_args()
+    if not args.summarize_only:
+        os.makedirs(args.trace_dir, exist_ok=True)
+        trace_once(args.mode, args.steps, args.dtype, args.impl, args.n_rand,
+                   args.trace_dir)
+    summarize(args.trace_dir)
+
+
+if __name__ == "__main__":
+    main()
