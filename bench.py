@@ -87,7 +87,8 @@ def main():
                     choices=["train", "render", "both"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas", "fused"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--n_rand", type=int, default=1024,
                     help="rays per step per chip (reference stage-3 shape: 1024)")

@@ -1,0 +1,1132 @@
+"""Fused Pallas render megakernels: PE + MLP (+ heads) resident in VMEM.
+
+Why: the render/train hot path is a stack of wide-M matmuls —
+``bf16[N*S, 256] @ bf16[256, 256]`` for the NeRF trunk (reference hot loop
+models/rendering.py:195-375) — and under plain XLA every layer's activation
+(2.1 GB per 16k-ray render tile) round-trips HBM between matmuls. A device
+profile (PERF.md round-2) shows those fusions running at ~37 TFLOP/s on a
+~197 TFLOP/s chip: the trunk is HBM-bandwidth-bound. These kernels keep a
+block of whole rays resident in VMEM through the *entire* network:
+
+  HBM traffic per sample drops from ~10 x 512 B (layer activations) to
+  12 B in (raw xyz) + 16 B out (rgb + sigma).
+
+Design (differs from ops/fused_mlp.py, which is kept as the simpler
+reference implementation):
+
+  - **Raw xyz in, PE in-kernel.** The sinusoidal embedding is computed
+    inside the kernel (one tiny matmul against the static frequency matrix
+    + sin/cos on the VPU), so the (N*S, 63) embedding never exists in HBM.
+  - **Annealing folded into weights.** The coarse-to-fine PE weights
+    (reference trainer_moco_flow.py:270-305) scale the sin/cos *columns*
+    before the first-layer matmul; scaling the corresponding first-layer
+    weight ROWS outside the kernel is algebraically identical, keeps the
+    kernel anneal-free, and XLA differentiates the fold automatically.
+  - **Whole-ray blocks.** The grid tiles rays, with blocks shaped
+    ``(R, S, C)``; per-ray features (frame-index / view-dir embeddings,
+    already matmul'd to width at ray rank) enter as ``(R, 1, width)`` and
+    broadcast across samples inside the kernel — the reference
+    repeat_interleaves them to sample rank in HBM
+    (models/rendering.py:134-142).
+  - **Pallas backward.** A custom VJP whose backward is also a Pallas
+    kernel: it re-computes the forward activations in VMEM (flash-style
+    rematerialization — no activation tensor is ever stored to HBM) and
+    produces dxyz / d(per-ray) tiles plus weight gradients accumulated
+    across the sequential TPU grid into VMEM-resident fp32 blocks.
+
+All matmuls run on the MXU in the compute dtype (bf16 operands, fp32
+accumulation); heads and gradients accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.embedding import freq_bands
+from ..nn.nerf import NeRFConfig
+from ..nn.nof import NoFConfig
+
+# Row budget per VMEM block (R = rows_budget // S rays per grid step).
+# Bigger blocks amortize per-grid-step overhead but are bounded by VMEM —
+# note the (rows, 3) xyz blocks are lane-padded to 128 in VMEM, so they cost
+# as much as a full 128-wide activation per row.
+_FWD_ROWS = 2048
+_BWD_ROWS = 512
+
+
+def _rows_budget(base: int, width: int) -> int:
+    return base * max(1, min(2, 256 // max(width, 1)))
+
+
+def _interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU; interpret on the CPU test
+    backend (tests/conftest.py forces cpu)."""
+    return jax.default_backend() == "cpu"
+
+
+def _dtype(name: str):
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def _freq_matrix(n_freqs: int, logscale: bool, c: int = 3) -> np.ndarray:
+    """(c, n_freqs*c) matrix B with x @ B = [f_0*x, f_1*x, ...] laid out
+    freq-major — matches nn.embedding.posenc's block layout."""
+    bands = freq_bands(n_freqs, logscale)
+    b = np.zeros((c, n_freqs * c), dtype=np.float32)
+    for k in range(n_freqs):
+        for j in range(c):
+            b[j, k * c + j] = bands[k]
+    return b
+
+
+def _pick_r(n: int, s: int, rows: int) -> int:
+    return max(1, min(n, rows // max(s, 1)))
+
+
+def _pad_rays(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    if n_pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((n_pad, *x.shape[1:]), x.dtype)], axis=0)
+
+
+def _dot(a, b, dtype, out_dtype=None):
+    """(..., K) @ (K, N) on the MXU; operands cast to the compute dtype,
+    accumulation fp32 (out bf16 only for hidden activations)."""
+    if dtype is not None:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype or jnp.float32)
+
+
+def _dot_nt(a, w, dtype):
+    """(..., K) x (N, K) -> (..., N): contract against the weight's SECOND
+    dim — the backward-pass "x @ W^T" without materializing a transpose
+    inside the kernel (Mosaic feeds the MXU the transposed operand)."""
+    if dtype is not None:
+        a = a.astype(dtype)
+        w = w.astype(dtype)
+    return jax.lax.dot_general(
+        a, w, (((a.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    """Weight-gradient contraction a^T @ b over rows: (T, I), (T, J) ->
+    (I, J) fp32 — one MXU matmul contracting the row dim."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+
+def _cast_matrices(ws: list, compute_dtype) -> list:
+    """Cast true weight matrices (shape[0] > 1) to the compute dtype outside
+    the kernel; biases and the (1, W) sigma row stay fp32 (they are applied
+    in fp32 on the VPU)."""
+    if compute_dtype is None:
+        return ws
+    return [w.astype(compute_dtype) if w.shape[0] > 1 else w for w in ws]
+
+
+# ===========================================================================
+# NeRF megakernel
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class _NerfSpec:
+    """Static kernel config (hashable -> one compiled kernel per spec)."""
+    depth: int
+    width: int
+    kc: int                # 3 * n_freqs (sin block width)
+    skips: tuple
+    sigma_only: bool
+    has_extra: bool
+    dtype_name: str
+    logscale: bool
+
+
+def _nerf_fold(params: dict, cfg: NeRFConfig, n_freqs: int,
+               anneal: jnp.ndarray | None, extra_emb: jnp.ndarray | None,
+               sigma_only: bool):
+    """Split + anneal-fold the NeRF weights into the kernel's flat operand
+    list. Differentiable (XLA chains gradients back through the fold)."""
+    kc = 3 * n_freqs
+    w_rep = None
+    if anneal is not None:
+        w_rep = jnp.repeat(anneal, 3, total_repeat_length=kc)[:, None]
+    ws = []
+
+    def pe_rows(w):
+        """Rows of a PE-consuming weight matrix: [x(3), sin(kc), cos(kc)];
+        rows past 3+2kc are the static zero-padding of embed_padded and
+        multiply zeros — dropped."""
+        wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
+        if w_rep is not None:
+            wsin = wsin * w_rep
+            wcos = wcos * w_rep
+        return [wx, wsin, wcos]
+
+    in_ch = cfg.in_channels_xyz
+    for i, layer in enumerate(params["trunk"]):
+        w, b = layer["w"], layer["b"]
+        if i == 0:
+            ws += pe_rows(w) + [b[None]]
+        elif i in cfg.skips:
+            ws += pe_rows(w[:in_ch]) + [w[in_ch:], b[None]]
+        else:
+            ws += [w, b[None]]
+    ws += [params["sigma"]["w"].T, params["sigma"]["b"][None]]  # (1, W), (1, 1)
+    p_extra = None
+    if not sigma_only:
+        ws += [params["final"]["w"], params["final"]["b"][None]]
+        we, be = params["extra"]["w"], params["extra"]["b"]
+        if extra_emb is not None:
+            ws += [we[:cfg.width], be[None]]
+            p_extra = _dot(extra_emb, we[cfg.width:], None)  # (N, W/2) fp32
+        else:
+            ws += [we, be[None]]
+        ws += [params["rgb"]["w"], params["rgb"]["b"][None]]
+    return ws, p_extra
+
+
+def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
+    """Forward for one flattened (R*S, ...) row block; returns intermediates
+    for reuse by the backward kernel. The kernels collapse whole-ray blocks
+    (R, S, C) to 2-D rows so every layer is ONE wide MXU matmul (batched 3-D
+    dots lower as R small matmuls and were measurably slower); p_e arrives
+    pre-broadcast to row rank (a VMEM-local copy).
+
+    With ``rs=(r, s)`` (test-time pass kernels) the sigma head is computed
+    TRANSPOSED off the MXU and returned as a dense (R, S) map alongside rgb
+    (T, 3) — the packed (T, 4) output would lane-pad to 128 in HBM and XLA
+    would slice/relayout sigma back out (~14 ms per render tile measured)."""
+    dt = _dtype(spec.dtype_name)
+    scaled = _dot(x, b_mat, None)                     # (T, kc) fp32
+    sin, cos = jnp.sin(scaled), jnp.cos(scaled)
+    xb = x.astype(dt)
+    sb, cb = sin.astype(dt), cos.astype(dt)
+
+    acts = []
+    it = iter(ws)
+    h = None
+    for i in range(spec.depth):
+        if i == 0:
+            wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
+            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
+                 + b.astype(jnp.float32))
+        elif i in spec.skips:
+            wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
+                                     next(it))
+            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
+                 + _dot(h, wh, dt) + b.astype(jnp.float32))
+        else:
+            w, b = next(it), next(it)
+            z = _dot(h, w, dt) + b.astype(jnp.float32)
+        h = jnp.maximum(z, 0.0).astype(dt)
+        acts.append(h)
+    wsig, bsig = next(it), next(it)
+    if rs is not None:
+        hh = h if dt is None else h.astype(dt)
+        ww = wsig if dt is None else wsig.astype(dt)
+        sigma_t = jax.lax.dot_general(
+            ww, hh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (1, T)
+        sigma_rs = sigma_t.reshape(rs) + bsig[:, 0:1].astype(jnp.float32)
+    else:
+        sigma = jnp.sum(h.astype(jnp.float32) * wsig.astype(jnp.float32),
+                        axis=-1, keepdims=True) + bsig.astype(jnp.float32)
+    if spec.sigma_only:
+        if rs is not None:
+            return (None, sigma_rs), None
+        return sigma, (sin, cos, acts, None, None, None)
+    wf, bf = next(it), next(it)
+    hf = (_dot(h, wf, dt) + bf.astype(jnp.float32)).astype(dt)
+    we, be = next(it), next(it)
+    ze = _dot(hf, we, dt) + be.astype(jnp.float32)
+    if spec.has_extra:
+        ze = ze + p_e.astype(jnp.float32)             # (T, W/2), pre-broadcast
+    he = jnp.maximum(ze, 0.0).astype(dt)
+    wr, br = next(it), next(it)
+    rgb = jax.nn.sigmoid(_dot(he, wr, dt) + br.astype(jnp.float32))
+    if rs is not None:
+        return (rgb, sigma_rs), None
+    out = jnp.concatenate([rgb, sigma], axis=-1)
+    return out, (sin, cos, acts, hf, he, rgb)
+
+
+@functools.lru_cache(maxsize=64)
+def _nerf_fwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
+                   ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
+    r = _pick_r(n, s, _FWD_ROWS)
+    grid = pl.cdiv(n, r)
+    out_dim = 1 if spec.sigma_only else 4
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        off = 1
+        p_e = None
+        if spec.has_extra:
+            e = spec.width // 2
+            p_e = jnp.broadcast_to(refs[1][...], (r, s, e)).reshape(r * s, e)
+            off = 2
+        b_ref = refs[off]
+        ws = [refs[off + 1 + i][...] for i in range(n_ws)]
+        out_ref = refs[off + 1 + n_ws]
+        out, _ = _nerf_tile(x_ref[...].reshape(r * s, 3), p_e, ws, spec,
+                            b_ref[...])
+        out_ref[...] = out.reshape(r, s, out_dim)
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if spec.has_extra:
+        e = spec.width // 2
+        in_specs.append(pl.BlockSpec((r, 1, e), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, s, out_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * r, s, out_dim), jnp.float32),
+        interpret=interpret,
+    ), grid * r - n
+
+
+def _nerf_forward(spec: _NerfSpec, xyz, p_e, ws):
+    n, s = xyz.shape[0], xyz.shape[1]
+    call, n_pad = _nerf_fwd_call(spec, n, s, len(ws),
+                                 tuple(w.shape for w in ws), _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
+    xyz_p = _pad_rays(xyz, n_pad)
+    args = [xyz_p]
+    if spec.has_extra:
+        args.append(_pad_rays(p_e, n_pad))
+    out = call(*args, b_mat, *ws)
+    return out[:n] if n_pad else out
+
+
+def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
+    """Recompute forward, then hand-chained backward for one flattened row
+    block. Returns (dx (T,3), dp_e (R,1,E)|None, [dws...]) — dws fp32, same
+    order as ws."""
+    dt = _dtype(spec.dtype_name)
+    _, (sin, cos, acts, hf, he, rgb) = _nerf_tile(x, p_e, ws, spec, b_mat)
+    scaled = _dot(x, b_mat, None)
+    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+
+    it = iter(ws)
+    layers = []  # (kind, weights...) aligned with ws order
+    for i in range(spec.depth):
+        if i == 0 or i in spec.skips:
+            entry = [next(it) for _ in range(5 if i in spec.skips else 4)]
+            layers.append(("pe_skip" if i in spec.skips else "pe", entry))
+        else:
+            layers.append(("plain", [next(it), next(it)]))
+    wsig, bsig = next(it), next(it)
+    if not spec.sigma_only:
+        wf, bf = next(it), next(it)
+        we, be = next(it), next(it)
+        wr, br = next(it), next(it)
+
+    dws = {}
+    h_last = acts[-1]
+    if spec.sigma_only:
+        dsigma = g  # (R, S, 1)
+        dh = (dsigma * wsig.astype(jnp.float32))
+    else:
+        drgb = g[..., 0:3] * rgb * (1.0 - rgb)
+        dsigma = g[..., 3:4]
+        drgb = drgb.astype(dt)
+        dws["wr"] = _dot_t(he, drgb)
+        dws["br"] = jnp.sum(drgb.astype(jnp.float32), axis=0, keepdims=True)
+        dhe = _dot_nt(drgb, wr, dt)
+        dhe = jnp.where(he.astype(jnp.float32) > 0.0, dhe.astype(jnp.float32), 0.0).astype(dt)
+        dws["we"] = _dot_t(hf, dhe)
+        dws["be"] = jnp.sum(dhe.astype(jnp.float32), axis=0, keepdims=True)
+        if spec.has_extra:
+            dp_e = jnp.sum(dhe.astype(jnp.float32).reshape(r, s, -1),
+                           axis=1, keepdims=True)
+        dhf = _dot_nt(dhe, we, dt)
+        dws["wf"] = _dot_t(h_last, dhf)
+        dws["bf"] = jnp.sum(dhf.astype(jnp.float32), axis=0, keepdims=True)
+        dh = (_dot_nt(dhf, wf, dt).astype(jnp.float32)
+              + dsigma * wsig.astype(jnp.float32))
+    dws["wsig"] = jnp.sum(
+        h_last.astype(jnp.float32) * dsigma, axis=0, keepdims=True)
+    dws["bsig"] = jnp.sum(dsigma, axis=0, keepdims=True)
+
+    dx = jnp.zeros_like(x)
+    dsin = jnp.zeros(scaled.shape, jnp.float32)
+    dcos = jnp.zeros(scaled.shape, jnp.float32)
+    dlayers = [None] * spec.depth
+    for i in range(spec.depth - 1, -1, -1):
+        kind, entry = layers[i]
+        h_in = acts[i - 1] if i > 0 else None
+        dz = jnp.where(acts[i].astype(jnp.float32) > 0.0, dh, 0.0).astype(dt)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        if kind == "plain":
+            w, _ = entry
+            dlayers[i] = [_dot_t(h_in, dz), db]
+            dh = _dot_nt(dz, w, dt).astype(jnp.float32)
+        else:
+            if kind == "pe_skip":
+                wx, wsin, wcos, wh, _ = entry
+                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
+                              _dot_t(h_in, dz), db]
+                dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
+            else:
+                wx, wsin, wcos, _ = entry
+                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
+                              db]
+                dh = None
+            dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
+            dsin = dsin + _dot_nt(dz, wsin, dt).astype(jnp.float32)
+            dcos = dcos + _dot_nt(dz, wcos, dt).astype(jnp.float32)
+    # PE chain: d(scaled) = dsin*cos - dcos*sin; dx += d(scaled) @ B^T
+    dscaled = dsin * cos - dcos * sin
+    dx = dx + _dot_nt(dscaled, b_mat, None)
+
+    out_dws = []
+    for i in range(spec.depth):
+        out_dws += dlayers[i]
+    out_dws += [dws["wsig"], dws["bsig"]]
+    if not spec.sigma_only:
+        out_dws += [dws["wf"], dws["bf"], dws["we"], dws["be"],
+                    dws["wr"], dws["br"]]
+    return dx, (dp_e if (not spec.sigma_only and spec.has_extra) else None), \
+        out_dws
+
+
+@functools.lru_cache(maxsize=64)
+def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
+                   ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
+    r = _pick_r(n, s, _rows_budget(_BWD_ROWS, spec.width))
+    grid = pl.cdiv(n, r)
+    out_dim = 1 if spec.sigma_only else 4
+    e = spec.width // 2
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        off = 1
+        p_e = None
+        if spec.has_extra:
+            p_e = jnp.broadcast_to(refs[1][...], (r, s, e)).reshape(r * s, e)
+            off = 2
+        b_ref = refs[off]
+        ws = [refs[off + 1 + i][...] for i in range(n_ws)]
+        g_ref = refs[off + 1 + n_ws]
+        outs = refs[off + 2 + n_ws:]
+        dx_ref = outs[0]
+        o = 1
+        if spec.has_extra:
+            dpe_ref = outs[1]
+            o = 2
+        dw_refs = outs[o:]
+        dx, dpe, dws = _nerf_bwd_tile(
+            x_ref[...].reshape(r * s, 3), p_e, ws,
+            g_ref[...].reshape(r * s, out_dim), spec, b_ref[...], r, s)
+        dx_ref[...] = dx.reshape(r, s, 3)
+        if spec.has_extra:
+            dpe_ref[...] = dpe
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for ref, dw in zip(dw_refs, dws):
+                ref[...] = dw
+
+        @pl.when(pl.program_id(0) > 0)
+        def _():
+            for ref, dw in zip(dw_refs, dws):
+                ref[...] = ref[...] + dw
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if spec.has_extra:
+        in_specs.append(pl.BlockSpec((r, 1, e), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((r, s, out_dim), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
+    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if spec.has_extra:
+        out_shapes.append(jax.ShapeDtypeStruct((grid * r, 1, e), jnp.float32))
+        out_specs.append(pl.BlockSpec((r, 1, e), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+        out_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                      memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    ), grid * r - n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _nerf_op(spec: _NerfSpec, xyz, p_e, *ws):
+    return _nerf_forward(spec, xyz, p_e if spec.has_extra else None, list(ws))
+
+
+def _nerf_op_fwd(spec, xyz, p_e, *ws):
+    return _nerf_op(spec, xyz, p_e, *ws), (xyz, p_e, ws)
+
+
+def _nerf_op_bwd(spec, res, g):
+    xyz, p_e, ws = res
+    n, s = xyz.shape[0], xyz.shape[1]
+    call, n_pad = _nerf_bwd_call(spec, n, s, len(ws),
+                                 tuple(w.shape for w in ws), _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
+    xyz_p = _pad_rays(xyz, n_pad)
+    args = [xyz_p]
+    if spec.has_extra:
+        args.append(_pad_rays(p_e, n_pad))
+    outs = call(*args, b_mat, *ws, _pad_rays(g, n_pad))
+    dx = outs[0][:n]
+    o = 1
+    dp_e = None
+    if spec.has_extra:
+        dp_e = outs[1][:n]
+        o = 2
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[o:], ws))
+    return (dx, dp_e, *dws)
+
+
+_nerf_op.defvjp(_nerf_op_fwd, _nerf_op_bwd)
+
+
+def nerf_fused_rays(params: dict, cfg: NeRFConfig, n_freqs: int,
+                    logscale: bool, anneal: jnp.ndarray | None,
+                    xyz: jnp.ndarray, extra_emb: jnp.ndarray | None,
+                    sigma_only: bool, compute_dtype=None) -> jnp.ndarray:
+    """Fused NeRF over whole rays.
+
+    Args:
+      xyz: (N, S, 3) raw sample positions.
+      extra_emb: (N, E) per-ray extra feature embedding (already PE'd) or
+        None.
+      anneal: (n_freqs,) PE annealing weights or None.
+
+    Returns (N, S, 4) rgb+sigma fp32, or (N, S, 1) sigma if ``sigma_only``.
+    """
+    has_extra = (extra_emb is not None and not sigma_only
+                 and cfg.extra_feat_type != "none")
+    ws, p_extra = _nerf_fold(params, cfg, n_freqs, anneal,
+                             extra_emb if has_extra else None, sigma_only)
+    ws = _cast_matrices(ws, compute_dtype)
+    spec = _NerfSpec(
+        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        skips=tuple(cfg.skips), sigma_only=sigma_only, has_extra=has_extra,
+        dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+        logscale=logscale)
+    p_e = p_extra[:, None, :] if has_extra else None
+    return _nerf_op(spec, xyz, p_e, *ws)
+
+
+# ===========================================================================
+# NoF megakernel
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class _NofSpec:
+    depth: int
+    width: int
+    kc: int
+    skips: tuple
+    use_quat: bool
+    dtype_name: str
+    logscale: bool
+
+
+def _nof_fold(params: dict, cfg: NoFConfig, n_freqs: int,
+              anneal: jnp.ndarray | None, ind_emb: jnp.ndarray):
+    """Weight split for the NoF kernel. The frame-index embedding columns
+    are applied at ray rank here (tiny (N, E) @ (E, W) matmuls) and enter
+    the kernel as per-ray partials."""
+    kc = 3 * n_freqs
+    w_rep = None
+    if anneal is not None:
+        w_rep = jnp.repeat(anneal, 3, total_repeat_length=kc)[:, None]
+
+    def pe_rows(w):
+        wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
+        if w_rep is not None:
+            wsin = wsin * w_rep
+            wcos = wcos * w_rep
+        return [wx, wsin, wcos]
+
+    cx, ce = cfg.in_channels_xyz, cfg.extra_feat_dim
+    ws, partials = [], []
+    for i, layer in enumerate(params["layers"]):
+        w, b = layer["w"], layer["b"]
+        if i == 0:
+            ws += pe_rows(w[:cx]) + [b[None]]
+            partials.append(_dot(ind_emb, w[cx:cx + ce], None))
+        elif i in cfg.skips:
+            ws += pe_rows(w[:cx]) + [w[cx + ce:], b[None]]
+            partials.append(_dot(ind_emb, w[cx:cx + ce], None))
+        else:
+            ws += [w, b[None]]
+    ws += [params["head"]["w"], params["head"]["b"][None]]
+    return ws, partials
+
+
+def _nof_quat_fwd_t(out_t, x_t):
+    """Row-vector log-quaternion transform (nn/nof.py::_head; reference
+    models/nof.py:75-82), computed TRANSPOSED: components on sublanes,
+    samples on lanes — row-major (T, 3) slices are lane-padded to 128 so
+    each of the ~30 elementwise ops here would cost a full wide-op;
+    transposed they run dense (measured 27 ms -> ~2 ms per render tile).
+
+    Args: out_t (9, T) head output; x_t (3, T) positions.
+    Returns ((3, T) warped, residuals)."""
+    eps = 1e-8
+    v, s, t = out_t[0:3], out_t[3:6], out_t[6:9]
+    d = x_t - s
+    theta = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + eps * eps)
+    w = jnp.cos(theta)
+    k = jnp.sin(theta) / theta
+    qv = -v * k
+    t1 = _cross_t(qv, d) + w * d
+    warped = d + 2.0 * _cross_t(qv, t1) + s + t
+    return warped, (v, s, d, theta, w, k, qv, t1)
+
+
+def _cross_t(a, b):
+    a0, a1, a2 = a[0:1], a[1:2], a[2:3]
+    b0, b1, b2 = b[0:1], b[1:2], b[2:3]
+    return jnp.concatenate(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=0)
+
+
+def _nof_quat_bwd_t(res, g):
+    """Hand-chained VJP of _nof_quat_fwd_t ((3,T) cotangent g):
+    returns (dout9 (9,T), dxyz (3,T))."""
+    v, s, d, theta, w, k, qv, t1 = res
+    # warped = d + 2*cross(qv, t1) + s + t
+    dqv = _cross_t(t1, 2.0 * g)          # da = b x dc
+    dt1 = _cross_t(2.0 * g, qv)          # db = dc x a
+    dd = g
+    ds = g
+    dt = g
+    # t1 = cross(qv, d) + w*d
+    dqv = dqv + _cross_t(d, dt1)
+    dd = dd + _cross_t(dt1, qv) + w * dt1
+    dw = jnp.sum(dt1 * d, axis=0, keepdims=True)
+    # qv = -v*k
+    dv = -k * dqv
+    dk = jnp.sum(-v * dqv, axis=0, keepdims=True)
+    # w = cos(theta), k = sin(theta)/theta
+    sin_t = k * theta
+    dtheta = -sin_t * dw + dk * (w / theta - sin_t / (theta * theta))
+    # theta = sqrt(sum v^2 + eps^2)
+    dv = dv + dtheta * v / theta
+    # d = xyz - s
+    dxyz = dd
+    ds = ds - dd
+    dout9 = jnp.concatenate([dv, ds, dt], axis=0)
+    return dout9, dxyz
+
+
+def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
+    dt = _dtype(spec.dtype_name)
+    scaled = _dot(x, b_mat, None)
+    sin, cos = jnp.sin(scaled), jnp.cos(scaled)
+    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+
+    acts = []
+    it = iter(ws)
+    pit = iter(partials)
+    h = None
+    for i in range(spec.depth):
+        if i == 0:
+            wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
+            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
+                 + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
+        elif i in spec.skips:
+            wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
+                                     next(it))
+            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
+                 + _dot(h, wh, dt) + next(pit).astype(jnp.float32)
+                 + b.astype(jnp.float32))
+        else:
+            w, b = next(it), next(it)
+            z = _dot(h, w, dt) + b.astype(jnp.float32)
+        h = jnp.maximum(z, 0.0).astype(dt)
+        acts.append(h)
+    whead, bhead = next(it), next(it)
+    if spec.use_quat:
+        # head emitted TRANSPOSED straight off the MXU (contract whead's
+        # input dim with h's feature dim) so the quat math runs with
+        # components on sublanes; only x needs an explicit transpose
+        hh = h if dt is None else h.astype(dt)
+        wh = whead if dt is None else whead.astype(dt)
+        out_t = jax.lax.dot_general(wh, hh, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        out_t = out_t + bhead.T.astype(jnp.float32)   # (9, T)
+        warped_t, qres = _nof_quat_fwd_t(out_t, x.T)
+        return warped_t.T, (sin, cos, acts, None, qres)
+    out = _dot(h, whead, dt) + bhead.astype(jnp.float32)
+    return out + x, (sin, cos, acts, out, None)
+
+
+@functools.lru_cache(maxsize=64)
+def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
+                  ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
+    r = _pick_r(n, s, _FWD_ROWS)
+    grid = pl.cdiv(n, r)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        w = spec.width
+        partials = [
+            jnp.broadcast_to(refs[1 + i][...], (r, s, w)).reshape(r * s, w)
+            for i in range(n_part)]
+        b_ref = refs[1 + n_part]
+        ws = [refs[2 + n_part + i][...] for i in range(n_ws)]
+        out_ref = refs[2 + n_part + n_ws]
+        out, _ = _nof_tile(x_ref[...].reshape(r * s, 3), partials, ws, spec,
+                           b_ref[...])
+        out_ref[...] = out.reshape(r, s, 3)
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(n_part):
+        in_specs.append(pl.BlockSpec((r, 1, spec.width), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32),
+        interpret=interpret,
+    ), grid * r - n
+
+
+def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
+    dt = _dtype(spec.dtype_name)
+    _, (sin, cos, acts, out9, qres) = _nof_tile(x, partials, ws, spec, b_mat)
+    scaled = _dot(x, b_mat, None)
+    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+
+    it = iter(ws)
+    layers = []
+    for i in range(spec.depth):
+        if i == 0:
+            layers.append(("pe", [next(it) for _ in range(4)]))
+        elif i in spec.skips:
+            layers.append(("pe_skip", [next(it) for _ in range(5)]))
+        else:
+            layers.append(("plain", [next(it), next(it)]))
+    whead, bhead = next(it), next(it)
+
+    h_last = acts[-1]
+    if spec.use_quat:
+        dout9_t, dx_t = _nof_quat_bwd_t(qres, g.T)    # (9,T), (3,T)
+        dx = dx_t.T
+        d9 = dout9_t if dt is None else dout9_t.astype(dt)
+        hh = h_last if dt is None else h_last.astype(dt)
+        wh = whead if dt is None else whead.astype(dt)
+        # dwhead (W, 9) = h^T @ dout9; dh (T, W) = dout9 @ whead^T — both
+        # contracted directly against the transposed head output
+        dwhead = jax.lax.dot_general(hh, d9, (((0,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dbhead = jnp.sum(dout9_t, axis=1, keepdims=True).T
+        dh = jax.lax.dot_general(d9, wh, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    else:
+        dout9, dx = g, g
+        dout9 = dout9.astype(dt) if dt is not None else dout9
+        dwhead = _dot_t(h_last, dout9)
+        dbhead = jnp.sum(dout9.astype(jnp.float32), axis=0, keepdims=True)
+        dh = _dot_nt(dout9, whead, dt).astype(jnp.float32)
+
+    dlayers = [None] * spec.depth
+    dpartials = [None, None]
+    dsin = jnp.zeros(scaled.shape, jnp.float32)
+    dcos = jnp.zeros(scaled.shape, jnp.float32)
+    # count pe layers in forward order for partial indexing
+    pe_order = [i for i in range(spec.depth)
+                if i == 0 or i in spec.skips]
+    for i in range(spec.depth - 1, -1, -1):
+        kind, entry = layers[i]
+        h_in = acts[i - 1] if i > 0 else None
+        dz = jnp.where(acts[i].astype(jnp.float32) > 0.0, dh, 0.0).astype(dt)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        if kind == "plain":
+            w, _ = entry
+            dlayers[i] = [_dot_t(h_in, dz), db]
+            dh = _dot_nt(dz, w, dt).astype(jnp.float32)
+        else:
+            if kind == "pe_skip":
+                wx, wsin, wcos, wh, _ = entry
+                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
+                              _dot_t(h_in, dz), db]
+                dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
+            else:
+                wx, wsin, wcos, _ = entry
+                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
+                              db]
+                dh = None
+            dpartials[pe_order.index(i)] = jnp.sum(
+                dz.astype(jnp.float32).reshape(r, s, -1), axis=1,
+                keepdims=True)
+            dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
+            dsin = dsin + _dot_nt(dz, wsin, dt).astype(jnp.float32)
+            dcos = dcos + _dot_nt(dz, wcos, dt).astype(jnp.float32)
+    dscaled = dsin * cos - dcos * sin
+    dx = dx + _dot_nt(dscaled, b_mat, None)
+
+    out_dws = []
+    for i in range(spec.depth):
+        out_dws += dlayers[i]
+    out_dws += [dwhead, dbhead]
+    return dx, [d for d in dpartials if d is not None], out_dws
+
+
+@functools.lru_cache(maxsize=64)
+def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
+                  ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
+    r = _pick_r(n, s, _rows_budget(_BWD_ROWS, spec.width))
+    grid = pl.cdiv(n, r)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        w = spec.width
+        partials = [
+            jnp.broadcast_to(refs[1 + i][...], (r, s, w)).reshape(r * s, w)
+            for i in range(n_part)]
+        b_ref = refs[1 + n_part]
+        ws = [refs[2 + n_part + i][...] for i in range(n_ws)]
+        g_ref = refs[2 + n_part + n_ws]
+        outs = refs[3 + n_part + n_ws:]
+        dx_ref = outs[0]
+        dpart_refs = outs[1:1 + n_part]
+        dw_refs = outs[1 + n_part:]
+        dx, dparts, dws = _nof_bwd_tile(
+            x_ref[...].reshape(r * s, 3), partials, ws,
+            g_ref[...].reshape(r * s, 3), spec, b_ref[...], r, s)
+        dx_ref[...] = dx.reshape(r, s, 3)
+        for ref, dp in zip(dpart_refs, dparts):
+            ref[...] = dp
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for ref, dw in zip(dw_refs, dws):
+                ref[...] = dw
+
+        @pl.when(pl.program_id(0) > 0)
+        def _():
+            for ref, dw in zip(dw_refs, dws):
+                ref[...] = ref[...] + dw
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(n_part):
+        in_specs.append(pl.BlockSpec((r, 1, spec.width), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
+    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    for _ in range(n_part):
+        out_shapes.append(
+            jax.ShapeDtypeStruct((grid * r, 1, spec.width), jnp.float32))
+        out_specs.append(pl.BlockSpec((r, 1, spec.width), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    for shp in ws_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+        out_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                      memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    ), grid * r - n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _nof_op(spec: _NofSpec, n_part: int, xyz, *arrs):
+    partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
+    n, s = xyz.shape[0], xyz.shape[1]
+    call, n_pad = _nof_fwd_call(spec, n, s, len(ws), n_part,
+                                tuple(w.shape for w in ws), _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
+    args = [_pad_rays(xyz, n_pad)] + [_pad_rays(p, n_pad) for p in partials]
+    out = call(*args, b_mat, *ws)
+    return out[:n] if n_pad else out
+
+
+def _nof_op_fwd(spec, n_part, xyz, *arrs):
+    return _nof_op(spec, n_part, xyz, *arrs), (xyz, arrs)
+
+
+def _nof_op_bwd(spec, n_part, res, g):
+    xyz, arrs = res
+    partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
+    n, s = xyz.shape[0], xyz.shape[1]
+    call, n_pad = _nof_bwd_call(spec, n, s, len(ws), n_part,
+                                tuple(w.shape for w in ws), _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
+    args = [_pad_rays(xyz, n_pad)] + [_pad_rays(p, n_pad) for p in partials]
+    outs = call(*args, b_mat, *ws, _pad_rays(g, n_pad))
+    dx = outs[0][:n]
+    dparts = tuple(outs[1 + i][:n] for i in range(n_part))
+    dws = tuple(d.astype(w.dtype)
+                for d, w in zip(outs[1 + n_part:], ws))
+    return (dx, *dparts, *dws)
+
+
+_nof_op.defvjp(_nof_op_fwd, _nof_op_bwd)
+
+
+# ===========================================================================
+# Combined test-time render pass: rays+z in -> (bw-NoF warp ->) NeRF -> out.
+# One kernel per pass: the (N, S, 3) xyz and warped-xyz tensors never exist
+# in HBM (each would cost ~2.1 GB lane-padded per 16k-ray tile), and the
+# sample positions are reconstructed from o + d*z inside VMEM. Forward-only
+# (the renderer skips consensus losses at test time, so no VJP is needed).
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class _PassSpec:
+    nerf: _NerfSpec
+    nof: "_NofSpec | None"
+
+
+@functools.lru_cache(maxsize=64)
+def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
+               n_nerf_ws: int, shapes: tuple, interpret: bool):
+    nerf_b = _freq_matrix(spec.nerf.kc // 3, spec.nerf.logscale)
+    r = _pick_r(n, s, _FWD_ROWS)
+    grid = pl.cdiv(n, r)
+    has_nof = spec.nof is not None
+    nof_b = (_freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
+             if has_nof else None)
+
+    def kernel(*refs):
+        od = refs[0][...]                       # (R, 1, 6)
+        z = refs[1][...]                        # (R, S)
+        xyz3 = od[:, :, 0:3] + od[:, :, 3:6] * z[:, :, None]
+        x = xyz3.reshape(r * s, 3)
+        i = 2
+        if has_nof:
+            w = spec.nof.width
+            partials = [
+                jnp.broadcast_to(refs[i + k][...], (r, s, w)).reshape(
+                    r * s, w) for k in range(n_part)]
+            i += n_part
+            nof_bref = refs[i][...]
+            i += 1
+            nof_ws = [refs[i + k][...] for k in range(n_nof_ws)]
+            i += n_nof_ws
+            x, _ = _nof_tile(x, partials, nof_ws, spec.nof, nof_bref)
+        p_e = None
+        if spec.nerf.has_extra:
+            e = spec.nerf.width // 2
+            p_e = jnp.broadcast_to(refs[i][...], (r, s, e)).reshape(r * s, e)
+            i += 1
+        nerf_bref = refs[i][...]
+        i += 1
+        nerf_ws = [refs[i + k][...] for k in range(n_nerf_ws)]
+        (rgb, sigma_rs), _ = _nerf_tile(x, p_e, nerf_ws, spec.nerf,
+                                        nerf_bref, rs=(r, s))
+        refs[i + n_nerf_ws][...] = sigma_rs
+        if not spec.nerf.sigma_only:
+            refs[i + n_nerf_ws + 1][...] = rgb.reshape(r, s, 3)
+
+    in_specs = [pl.BlockSpec((r, 1, 6), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    if has_nof:
+        for _ in range(n_part):
+            in_specs.append(pl.BlockSpec((r, 1, spec.nof.width),
+                                         lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(nof_b.shape, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+        for k in range(n_nof_ws):
+            in_specs.append(pl.BlockSpec(shapes[k], (lambda i: (0, 0)),
+                                         memory_space=pltpu.VMEM))
+    if spec.nerf.has_extra:
+        in_specs.append(pl.BlockSpec((r, 1, spec.nerf.width // 2),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(nerf_b.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for k in range(n_nerf_ws):
+        in_specs.append(pl.BlockSpec(shapes[n_nof_ws + k],
+                                     (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((r, s), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((grid * r, s), jnp.float32)]
+    if not spec.nerf.sigma_only:
+        out_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    ), grid * r - n
+
+
+def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
+                      nof_cfg, nerf_freqs: int, nof_freqs: int,
+                      nerf_logscale: bool, nof_logscale: bool,
+                      anneal_nerf, anneal_nof,
+                      rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                      z_vals: jnp.ndarray, extra_emb, ind_emb,
+                      use_nof: bool, sigma_only: bool,
+                      compute_dtype=None) -> jnp.ndarray:
+    """One fused test-time render pass over whole rays.
+
+    Args:
+      rays_o, rays_d: (N, 3); z_vals: (N, S) sample depths.
+      extra_emb: (N, E) per-ray NeRF extra embedding (None if sigma_only or
+        extra_feat_type none); ind_emb: (N, E') per-ray NoF frame embedding.
+
+    Returns ``(sigma (N, S), rgb (N, S, 3) | None)`` fp32 — sigma as a
+    dense lane-efficient map (no (N, S, 4) packing for XLA to slice apart).
+    """
+    has_extra = (extra_emb is not None and not sigma_only
+                 and nerf_cfg.extra_feat_type != "none")
+    nerf_ws, p_extra = _nerf_fold(params[nerf_key], nerf_cfg, nerf_freqs,
+                                  anneal_nerf,
+                                  extra_emb if has_extra else None,
+                                  sigma_only)
+    nerf_ws = _cast_matrices(nerf_ws, compute_dtype)
+    dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    nerf_spec = _NerfSpec(
+        depth=nerf_cfg.depth, width=nerf_cfg.width, kc=3 * nerf_freqs,
+        skips=tuple(nerf_cfg.skips), sigma_only=sigma_only,
+        has_extra=has_extra, dtype_name=dtype_name, logscale=nerf_logscale)
+
+    nof_ws, partials, nof_spec = [], [], None
+    if use_nof:
+        nof_ws, partials = _nof_fold(params["bw_NoF"], nof_cfg, nof_freqs,
+                                     anneal_nof, ind_emb)
+        nof_ws = _cast_matrices(nof_ws, compute_dtype)
+        nof_spec = _NofSpec(
+            depth=nof_cfg.depth, width=nof_cfg.width, kc=3 * nof_freqs,
+            skips=tuple(nof_cfg.skips), use_quat=nof_cfg.use_quat,
+            dtype_name=dtype_name, logscale=nof_logscale)
+
+    spec = _PassSpec(nerf=nerf_spec, nof=nof_spec)
+    n, s = z_vals.shape[0], z_vals.shape[1]
+    shapes = tuple(w.shape for w in nof_ws) + tuple(w.shape for w in nerf_ws)
+    call, n_pad = _pass_call(spec, n, s, len(nof_ws), len(partials),
+                             len(nerf_ws), shapes, _interpret())
+    od = jnp.concatenate([rays_o, rays_d], axis=-1)[:, None, :]  # (N, 1, 6)
+    args = [_pad_rays(od, n_pad), _pad_rays(z_vals, n_pad)]
+    if use_nof:
+        args += [_pad_rays(p[:, None, :], n_pad) for p in partials]
+        args.append(jnp.asarray(_freq_matrix(nof_spec.kc // 3,
+                                             nof_spec.logscale)))
+        args += nof_ws
+    if has_extra:
+        args.append(_pad_rays(p_extra[:, None, :], n_pad))
+    args.append(jnp.asarray(_freq_matrix(nerf_spec.kc // 3,
+                                         nerf_spec.logscale)))
+    args += nerf_ws
+    outs = call(*args)
+    sigma = outs[0][:n]
+    rgb = None if sigma_only else outs[1][:n]
+    return sigma, rgb
+
+
+def nof_fused_rays(params: dict, cfg: NoFConfig, n_freqs: int, logscale: bool,
+                   anneal: jnp.ndarray | None, xyz: jnp.ndarray,
+                   ind_emb: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Fused NoF warp over whole rays.
+
+    Args:
+      xyz: (N, S, 3) sample positions.
+      ind_emb: (N, E) per-ray embedded (PE'd) frame index.
+
+    Returns (N, S, 3) warped positions fp32.
+    """
+    n, s = xyz.shape[0], xyz.shape[1]
+    if n == 1 and s > _FWD_ROWS:
+        # single-"ray" point-set warp (train/stage_nof.py::nof_points feeds
+        # up to 100k points as one ray): re-chunk the sample axis into
+        # VMEM-sized rows, replicating the single frame-index embedding
+        sub = _FWD_ROWS
+        pad = (-s) % sub
+        flat = xyz.reshape(-1, 3)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 3), flat.dtype)], axis=0)
+        xyz_c = flat.reshape(-1, sub, 3)
+        ind_c = jnp.broadcast_to(ind_emb, (xyz_c.shape[0], ind_emb.shape[-1]))
+        out = nof_fused_rays(params, cfg, n_freqs, logscale, anneal, xyz_c,
+                             ind_c, compute_dtype)
+        return out.reshape(1, -1, 3)[:, :s]
+    ws, partials = _nof_fold(params, cfg, n_freqs, anneal, ind_emb)
+    ws = _cast_matrices(ws, compute_dtype)
+    spec = _NofSpec(
+        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        skips=tuple(cfg.skips), use_quat=cfg.use_quat,
+        dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+        logscale=logscale)
+    parts = [p[:, None, :] for p in partials]
+    return _nof_op(spec, len(parts), xyz, *parts, *ws)

@@ -72,7 +72,10 @@ class RenderConfig:
     chain_global: bool = False
     test_time: bool = False
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    mlp_impl: str = "xla"  # 'xla' | 'pallas'
+    mlp_impl: str = "xla"  # 'xla' | 'pallas' | 'fused'
+    # 'fused' = whole-ray VMEM megakernels (ops/megakernel.py): PE + MLP +
+    # heads in one Pallas kernel with a Pallas backward; the fastest path on
+    # real TPUs (the XLA trunk is HBM-bound, see PERF.md)
     remat: bool = False  # checkpoint each MLP eval: don't store trunk
     # activations for backward (recompute instead) — cuts backward HBM
     # residency ~8x, enabling much larger per-chip ray batches
@@ -151,6 +154,13 @@ def nof_warp(params: dict, statics: ModelStatics, anneal: dict,
     """
     cfg = statics.nof
     n, s = xyz.shape[0], xyz.shape[1]
+    if rcfg.mlp_impl == "fused":
+        from ..ops.megakernel import nof_fused_rays
+        ind_emb = embed_padded(ind, statics.nof_ind, cfg.extra_feat_dim)
+        return nof_fused_rays(params, cfg, statics.nof_xyz.n_freqs,
+                              statics.nof_xyz.logscale,
+                              anneal.get("nof_xyz"), xyz, ind_emb,
+                              compute_dtype=rcfg.dtype)
     flat = xyz.reshape(-1, 3)
     xyz_emb = embed_padded(flat, statics.nof_xyz, cfg.in_channels_xyz,
                            anneal.get("nof_xyz"))
@@ -220,14 +230,43 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
     ``weights_only``.
     """
     n, s = xyz.shape[0], xyz.shape[1]
-    flat = xyz.reshape(-1, 3)
-    x_emb = embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
-                         anneal.get("nerf_xyz"))
     dir_norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)  # (N, 1)
 
     noise = None
     if rcfg.noise_std > 0 and not rcfg.test_time:
         noise = jax.random.normal(key, (n, s)) * rcfg.noise_std
+
+    if rcfg.mlp_impl == "fused":
+        from ..ops.megakernel import nerf_fused_rays
+        if weights_only or nerf_cfg.extra_feat_type == "none":
+            extra = None
+        elif nerf_cfg.extra_feat_type == "ind":
+            extra = embed_padded(ind, statics.nerf_ind, nerf_cfg.extra_feat_dim)
+        else:
+            extra = embed_padded(direction, statics.nerf_dir,
+                                 nerf_cfg.extra_feat_dim)
+        out = nerf_fused_rays(params, nerf_cfg, statics.nerf_xyz.n_freqs,
+                              statics.nerf_xyz.logscale,
+                              anneal.get("nerf_xyz"), xyz, extra,
+                              sigma_only=weights_only,
+                              compute_dtype=rcfg.dtype)
+        if weights_only:
+            alphas, weights = composite(out[..., 0], z_vals, dir_norm, noise,
+                                        rcfg.activation)
+            return None, None, weights, alphas
+        rgbs, sigmas = out[..., :3], out[..., 3]
+        alphas, weights = composite(sigmas, z_vals, dir_norm, noise,
+                                    rcfg.activation)
+        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        if background is not None:
+            rgb = rgb + background * (
+                1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+        return rgb, depth, weights, alphas
+
+    flat = xyz.reshape(-1, 3)
+    x_emb = embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
+                         anneal.get("nerf_xyz"))
 
     if weights_only:
         sigmas = _eval_nerf(params, nerf_cfg, x_emb, None, True, rcfg)
@@ -266,6 +305,50 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
 # ---------------------------------------------------------------------------
 # Full renderer
 # ---------------------------------------------------------------------------
+
+def _fused_test_pass(params: dict, nerf_key: str, statics: ModelStatics,
+                     anneal: dict, rays_o, rays_d, img_ind, z_vals,
+                     dir_norm, background, use_nof: bool, weights_only: bool,
+                     rcfg: RenderConfig):
+    """Test-time pass through the combined warp+NeRF megakernel: the
+    (N, S, 3) sample/warp tensors never touch HBM (ops/megakernel.py)."""
+    from ..ops.megakernel import render_pass_fused
+    nerf_cfg = statics.coarse if nerf_key == "coarse_NeRF" else (
+        statics.fine or statics.coarse)
+    if weights_only or nerf_cfg.extra_feat_type == "none":
+        extra = None
+    elif nerf_cfg.extra_feat_type == "ind":
+        extra = embed_padded(img_ind, statics.nerf_ind,
+                             nerf_cfg.extra_feat_dim)
+    else:
+        extra = embed_padded(rays_d, statics.nerf_dir,
+                             nerf_cfg.extra_feat_dim)
+    ind_emb = None
+    nof_cfg = statics.nof
+    if use_nof:
+        ind_emb = embed_padded(img_ind, statics.nof_ind,
+                               nof_cfg.extra_feat_dim)
+    sigmas, rgbs = render_pass_fused(
+        params, nerf_key, nerf_cfg, nof_cfg,
+        statics.nerf_xyz.n_freqs,
+        statics.nof_xyz.n_freqs if statics.nof_xyz else 0,
+        statics.nerf_xyz.logscale,
+        statics.nof_xyz.logscale if statics.nof_xyz else True,
+        anneal.get("nerf_xyz"), anneal.get("nof_xyz"),
+        rays_o, rays_d, z_vals, extra, ind_emb,
+        use_nof=use_nof, sigma_only=weights_only,
+        compute_dtype=rcfg.dtype)
+    alphas, weights = composite(sigmas, z_vals, dir_norm, None,
+                                rcfg.activation)
+    if weights_only:
+        return None, None, weights, alphas
+    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    if background is not None:
+        rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1,
+                                                keepdims=True))
+    return rgb, depth, weights, alphas
+
 
 def _consensus(disp_src: jnp.ndarray, disp_rec: jnp.ndarray,
                alphas: jnp.ndarray) -> jnp.ndarray:
@@ -313,10 +396,38 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
 
     z_vals = stratified_zvals(k_perturb, near, far, rcfg.n_samples,
                               rcfg.use_disp, rcfg.perturb)
-    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     result: dict = {}
     use_nof = rcfg.use_nof and statics.nof is not None
+
+    # test time + fused: the whole warp+NeRF pass runs in ONE megakernel
+    # from (o, d, z) — the (N, S, 3) sample/warp tensors never exist in HBM
+    fused_tt = rcfg.test_time and rcfg.mlp_impl == "fused"
+    if fused_tt:
+        dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        coarse_weights_only = rcfg.n_importance > 0
+        rgb_c, depth_c, weights_c, _ = _fused_test_pass(
+            params, "coarse_NeRF", statics, anneal, rays_o, rays_d, img_ind,
+            z_vals, dir_norm, background, use_nof, coarse_weights_only, rcfg)
+        result["opacity_coarse"] = jnp.sum(weights_c, axis=1)
+        if not coarse_weights_only:
+            result["rgb_coarse"] = rgb_c
+            result["depth_coarse"] = depth_c
+        if rcfg.n_importance > 0:
+            z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+            z_fine = sample_pdf(k_pdf, z_mid, weights_c[:, 1:-1],
+                                rcfg.n_importance, det=(rcfg.perturb == 0))
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                             axis=-1)
+            rgb_f, depth_f, weights_f, _ = _fused_test_pass(
+                params, "fine_NeRF", statics, anneal, rays_o, rays_d,
+                img_ind, z_all, dir_norm, background, use_nof, False, rcfg)
+            result["rgb_fine"] = rgb_f
+            result["depth_fine"] = depth_f
+            result["opacity_fine"] = jnp.sum(weights_f, axis=1)
+        return result
+
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     def warp_stack(xyz_sampled):
         """bw warp (+ local/global chains) for one sample set

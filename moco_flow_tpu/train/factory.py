@@ -61,6 +61,16 @@ def render_config(model_cfg: dict, use_nof: bool = False,
                   test_time: bool = False, perturb=None,
                   compute_dtype: str | None = None,
                   mlp_impl: str | None = None) -> RenderConfig:
+    impl = mlp_impl or model_cfg.get("mlp_impl", "auto")
+    if impl == "auto":
+        # fused VMEM megakernels for test-time rendering on real TPUs (the
+        # XLA trunk is HBM-bound at 4M-row render megabatches, PERF.md);
+        # plain XLA for training (at 262k-row train batches XLA's fusions
+        # win over the kernel backward's recompute — measured round 2) and
+        # on the CPU test backend (Pallas would run interpreted there)
+        import jax
+        impl = ("fused" if test_time and jax.default_backend() != "cpu"
+                else "xla")
     return RenderConfig(
         n_samples=model_cfg.get("N_samples", 64),
         n_importance=model_cfg.get("N_importance", 0),
@@ -71,6 +81,6 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         use_nof=use_nof, chain_local=chain_local, chain_global=chain_global,
         test_time=test_time,
         compute_dtype=compute_dtype or model_cfg.get("compute_dtype", "float32"),
-        mlp_impl=mlp_impl or model_cfg.get("mlp_impl", "xla"),
+        mlp_impl=impl,
         remat=bool(model_cfg.get("remat", False)) and not test_time,
     )

@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--mode", default="render", choices=["train", "render"])
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--impl", default="xla")
+    ap.add_argument("--impl", default="auto")
     ap.add_argument("--n_rand", type=int, default=1024)
     ap.add_argument("--trace_dir", default="/tmp/mocoflow_trace")
     ap.add_argument("--summarize_only", action="store_true")
