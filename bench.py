@@ -29,7 +29,8 @@ BASELINE_TRAIN_RAYS_PER_SEC = 2.0e4     # V100, derived (BASELINE.md)
 BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
 
 
-def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024):
+def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
+                  fine_budget=0):
     from __graft_entry__ import _tiny_moco_config
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
@@ -42,7 +43,8 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024):
     m = cfg["model"]
     m.update({"N_rand": n_rand, "N_samples": 128, "N_importance": 128,
               "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
-              "perturb": 1.0, "remat": n_rand > 1024})
+              "perturb": 1.0, "remat": n_rand > 1024,
+              "fine_budget": fine_budget})
     config = Config(cfg, mode="train")
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 
@@ -92,6 +94,11 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--n_rand", type=int, default=1024,
                     help="rays per step per chip (reference stage-3 shape: 1024)")
+    ap.add_argument("--fine_budget", type=int, default=128,
+                    help="test-time empty-space skipping: fine samples kept "
+                         "per ray (0 = exact reference sampling; the "
+                         "default 128 halves the fine pass at max rgb error "
+                         "~3e-6 on the bench scene — PARITY.md)")
     args = ap.parse_args()
 
     # keep stdout clean for the single JSON line
@@ -100,7 +107,8 @@ def main():
             contextlib.redirect_stdout(chatter):
         trainer = build_trainer(os.path.join(tmp, "scene"),
                                 os.path.join(tmp, "log"), args.dtype,
-                                args.impl, mesh=None, n_rand=args.n_rand)
+                                args.impl, mesh=None, n_rand=args.n_rand,
+                                fine_budget=args.fine_budget)
         render_value = None
         if args.mode in ("render", "both"):
             render_value = bench_render(
@@ -120,6 +128,7 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(value / base, 3),
         "config": {"mode": args.mode, "dtype": args.dtype, "impl": args.impl,
+                   "fine_budget": args.fine_budget,
                    "step_shape": "1024 rays x (128+128) samples, chain+nof+msk"
                    if args.mode != "render" else "full-frame test render"},
     }

@@ -87,8 +87,16 @@ def _freq_matrix(n_freqs: int, logscale: bool, c: int = 3) -> np.ndarray:
     return b
 
 
-def _pick_r(n: int, s: int, rows: int) -> int:
-    return max(1, min(n, rows // max(s, 1)))
+def _pick_r(n: int, s: int, rows: int, align: int = 1) -> int:
+    r = max(1, min(n, rows // max(s, 1)))
+    if align > 1 and r < n:
+        # kernels with 2-D (r, s) blocks (the pass kernel's z / sigma maps)
+        # need the ray dim — their second-minor — divisible by the sublane
+        # tile (Mosaic block-shape rule); 3-D (r, s, c) blocks have no
+        # constraint on the leading ray dim. A single block (r == n) is
+        # always legal (equals the array dim).
+        r = max(align, (r // align) * align)
+    return r
 
 
 def _pad_rays(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -125,6 +133,38 @@ def _dot_t(a, b):
     """Weight-gradient contraction a^T @ b over rows: (T, I), (T, J) ->
     (I, J) fp32 — one MXU matmul contracting the row dim."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_pe(a_t, w, dtype):
+    """Transposed-PE forward contraction: (K, T) x (K, C) -> (T, C).
+
+    The sin/cos feature blocks live TRANSPOSED (features on sublanes) so
+    the transcendentals and casts run on (kc, T) tiles instead of
+    lane-padded (T, kc->128) ones; the MXU contracts their sublane dim
+    directly — no transpose op ever materializes."""
+    if dtype is not None:
+        a_t = a_t.astype(dtype)
+        w = w.astype(dtype)
+    return jax.lax.dot_general(a_t, w, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_pe_t(a_t, dz, dtype):
+    """Transposed-PE weight gradient: (K, T) x (T, C) -> (K, C)."""
+    if dtype is not None:
+        a_t = a_t.astype(dtype)
+        dz = dz.astype(dtype)
+    return jax.lax.dot_general(a_t, dz, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_pe_x(w, dz, dtype):
+    """Transposed-PE input gradient: (K, C) x (T, C) -> (K, T)."""
+    if dtype is not None:
+        w = w.astype(dtype)
+        dz = dz.astype(dtype)
+    return jax.lax.dot_general(w, dz, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -211,10 +251,15 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
     (T, 3) — the packed (T, 4) output would lane-pad to 128 in HBM and XLA
     would slice/relayout sigma back out (~14 ms per render tile measured)."""
     dt = _dtype(spec.dtype_name)
-    scaled = _dot(x, b_mat, None)                     # (T, kc) fp32
-    sin, cos = jnp.sin(scaled), jnp.cos(scaled)
+    # PE computed TRANSPOSED: scaled_t (kc, T) straight off the MXU from
+    # row-major x, so sin/cos and their casts run on sublane-tiled (kc, T)
+    # arrays — row-major (T, kc) would lane-pad to 128 and each op would
+    # cost a full wide-op (PERF.md round 2)
+    scaled_t = jax.lax.dot_general(b_mat, x, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
     xb = x.astype(dt)
-    sb, cb = sin.astype(dt), cos.astype(dt)
+    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     acts = []
     it = iter(ws)
@@ -222,13 +267,14 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
     for i in range(spec.depth):
         if i == 0:
             wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
-                 + b.astype(jnp.float32))
+            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+                 + _dot_pe(cb_t, wcos, dt) + b.astype(jnp.float32))
         elif i in spec.skips:
             wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
                                      next(it))
-            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
-                 + _dot(h, wh, dt) + b.astype(jnp.float32))
+            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+                 + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
+                 + b.astype(jnp.float32))
         else:
             w, b = next(it), next(it)
             z = _dot(h, w, dt) + b.astype(jnp.float32)
@@ -236,19 +282,23 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
         acts.append(h)
     wsig, bsig = next(it), next(it)
     if rs is not None:
+        # transposed sigma head: (1, T) row straight off the MXU; the
+        # in-kernel (1,T)->(R,S) lane split is an unsupported shape cast
+        # for S % 128 != 0, so the caller reshapes outside (contiguous --
+        # a free bitcast in XLA)
         hh = h if dt is None else h.astype(dt)
         ww = wsig if dt is None else wsig.astype(dt)
-        sigma_t = jax.lax.dot_general(
+        sigma_rs = jax.lax.dot_general(
             ww, hh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (1, T)
-        sigma_rs = sigma_t.reshape(rs) + bsig[:, 0:1].astype(jnp.float32)
+            preferred_element_type=jnp.float32) \
+            + bsig[:, 0:1].astype(jnp.float32)             # (1, T)
     else:
         sigma = jnp.sum(h.astype(jnp.float32) * wsig.astype(jnp.float32),
                         axis=-1, keepdims=True) + bsig.astype(jnp.float32)
     if spec.sigma_only:
         if rs is not None:
             return (None, sigma_rs), None
-        return sigma, (sin, cos, acts, None, None, None)
+        return sigma, (sin_t, cos_t, acts, None, None, None)
     wf, bf = next(it), next(it)
     hf = (_dot(h, wf, dt) + bf.astype(jnp.float32)).astype(dt)
     we, be = next(it), next(it)
@@ -261,7 +311,7 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
     if rs is not None:
         return (rgb, sigma_rs), None
     out = jnp.concatenate([rgb, sigma], axis=-1)
-    return out, (sin, cos, acts, hf, he, rgb)
+    return out, (sin_t, cos_t, acts, hf, he, rgb)
 
 
 @functools.lru_cache(maxsize=64)
@@ -328,9 +378,9 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
     block. Returns (dx (T,3), dp_e (R,1,E)|None, [dws...]) — dws fp32, same
     order as ws."""
     dt = _dtype(spec.dtype_name)
-    _, (sin, cos, acts, hf, he, rgb) = _nerf_tile(x, p_e, ws, spec, b_mat)
-    scaled = _dot(x, b_mat, None)
-    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+    _, (sin_t, cos_t, acts, hf, he, rgb) = _nerf_tile(x, p_e, ws, spec, b_mat)
+    xb = x.astype(dt)
+    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     it = iter(ws)
     layers = []  # (kind, weights...) aligned with ws order
@@ -374,8 +424,8 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
     dws["bsig"] = jnp.sum(dsigma, axis=0, keepdims=True)
 
     dx = jnp.zeros_like(x)
-    dsin = jnp.zeros(scaled.shape, jnp.float32)
-    dcos = jnp.zeros(scaled.shape, jnp.float32)
+    dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
+    dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
     dlayers = [None] * spec.depth
     for i in range(spec.depth - 1, -1, -1):
         kind, entry = layers[i]
@@ -389,20 +439,24 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
         else:
             if kind == "pe_skip":
                 wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
-                              _dot_t(h_in, dz), db]
+                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                              _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
                 wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
-                              db]
+                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                              _dot_pe_t(cb_t, dz, dt), db]
                 dh = None
             dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
-            dsin = dsin + _dot_nt(dz, wsin, dt).astype(jnp.float32)
-            dcos = dcos + _dot_nt(dz, wcos, dt).astype(jnp.float32)
-    # PE chain: d(scaled) = dsin*cos - dcos*sin; dx += d(scaled) @ B^T
-    dscaled = dsin * cos - dcos * sin
-    dx = dx + _dot_nt(dscaled, b_mat, None)
+            dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
+            dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
+    # PE chain (transposed): d(scaled_t) = dsin_t*cos_t - dcos_t*sin_t;
+    # dx (T, 3) += dscaled_t^T @ B^T == contraction of dscaled_t's kc dim
+    # with B's kc dim, transposed result — one dot_general, no transposes
+    dscaled_t = dsin_t * cos_t - dcos_t * sin_t
+    dx = dx + jax.lax.dot_general(
+        dscaled_t, b_mat, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     out_dws = []
     for i in range(spec.depth):
@@ -661,9 +715,12 @@ def _nof_quat_bwd_t(res, g):
 
 def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
     dt = _dtype(spec.dtype_name)
-    scaled = _dot(x, b_mat, None)
-    sin, cos = jnp.sin(scaled), jnp.cos(scaled)
-    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+    # PE transposed (see _nerf_tile)
+    scaled_t = jax.lax.dot_general(b_mat, x, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
+    xb = x.astype(dt)
+    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     acts = []
     it = iter(ws)
@@ -672,14 +729,15 @@ def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
     for i in range(spec.depth):
         if i == 0:
             wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
+            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+                 + _dot_pe(cb_t, wcos, dt)
                  + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         elif i in spec.skips:
             wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
                                      next(it))
-            z = (_dot(xb, wx, dt) + _dot(sb, wsin, dt) + _dot(cb, wcos, dt)
-                 + _dot(h, wh, dt) + next(pit).astype(jnp.float32)
-                 + b.astype(jnp.float32))
+            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+                 + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
+                 + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         else:
             w, b = next(it), next(it)
             z = _dot(h, w, dt) + b.astype(jnp.float32)
@@ -696,9 +754,9 @@ def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
                                     preferred_element_type=jnp.float32)
         out_t = out_t + bhead.T.astype(jnp.float32)   # (9, T)
         warped_t, qres = _nof_quat_fwd_t(out_t, x.T)
-        return warped_t.T, (sin, cos, acts, None, qres)
+        return warped_t.T, (sin_t, cos_t, acts, None, qres)
     out = _dot(h, whead, dt) + bhead.astype(jnp.float32)
-    return out + x, (sin, cos, acts, out, None)
+    return out + x, (sin_t, cos_t, acts, out, None)
 
 
 @functools.lru_cache(maxsize=64)
@@ -745,9 +803,10 @@ def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
 
 def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
     dt = _dtype(spec.dtype_name)
-    _, (sin, cos, acts, out9, qres) = _nof_tile(x, partials, ws, spec, b_mat)
-    scaled = _dot(x, b_mat, None)
-    xb, sb, cb = x.astype(dt), sin.astype(dt), cos.astype(dt)
+    _, (sin_t, cos_t, acts, out9, qres) = _nof_tile(x, partials, ws, spec,
+                                                    b_mat)
+    xb = x.astype(dt)
+    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     it = iter(ws)
     layers = []
@@ -783,8 +842,8 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
 
     dlayers = [None] * spec.depth
     dpartials = [None, None]
-    dsin = jnp.zeros(scaled.shape, jnp.float32)
-    dcos = jnp.zeros(scaled.shape, jnp.float32)
+    dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
+    dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
     # count pe layers in forward order for partial indexing
     pe_order = [i for i in range(spec.depth)
                 if i == 0 or i in spec.skips]
@@ -800,22 +859,24 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
         else:
             if kind == "pe_skip":
                 wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
-                              _dot_t(h_in, dz), db]
+                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                              _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
                 wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_t(sb, dz), _dot_t(cb, dz),
-                              db]
+                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                              _dot_pe_t(cb_t, dz, dt), db]
                 dh = None
             dpartials[pe_order.index(i)] = jnp.sum(
                 dz.astype(jnp.float32).reshape(r, s, -1), axis=1,
                 keepdims=True)
             dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
-            dsin = dsin + _dot_nt(dz, wsin, dt).astype(jnp.float32)
-            dcos = dcos + _dot_nt(dz, wcos, dt).astype(jnp.float32)
-    dscaled = dsin * cos - dcos * sin
-    dx = dx + _dot_nt(dscaled, b_mat, None)
+            dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
+            dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
+    dscaled_t = dsin_t * cos_t - dcos_t * sin_t
+    dx = dx + jax.lax.dot_general(
+        dscaled_t, b_mat, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     out_dws = []
     for i in range(spec.depth):
@@ -950,7 +1011,7 @@ class _PassSpec:
 def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
                n_nerf_ws: int, shapes: tuple, interpret: bool):
     nerf_b = _freq_matrix(spec.nerf.kc // 3, spec.nerf.logscale)
-    r = _pick_r(n, s, _FWD_ROWS)
+    r = _pick_r(n, s, _FWD_ROWS, align=8)
     grid = pl.cdiv(n, r)
     has_nof = spec.nof is not None
     nof_b = (_freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
@@ -981,9 +1042,9 @@ def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
         nerf_bref = refs[i][...]
         i += 1
         nerf_ws = [refs[i + k][...] for k in range(n_nerf_ws)]
-        (rgb, sigma_rs), _ = _nerf_tile(x, p_e, nerf_ws, spec.nerf,
-                                        nerf_bref, rs=(r, s))
-        refs[i + n_nerf_ws][...] = sigma_rs
+        (rgb, sigma_row), _ = _nerf_tile(x, p_e, nerf_ws, spec.nerf,
+                                         nerf_bref, rs=(r, s))
+        refs[i + n_nerf_ws][...] = sigma_row                # (1, r*s)
         if not spec.nerf.sigma_only:
             refs[i + n_nerf_ws + 1][...] = rgb.reshape(r, s, 3)
 
@@ -1012,9 +1073,9 @@ def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
                                      (lambda i: (0, 0)),
                                      memory_space=pltpu.VMEM))
 
-    out_specs = [pl.BlockSpec((r, s), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((1, r * s), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((grid * r, s), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((1, grid * r * s), jnp.float32)]
     if not spec.nerf.sigma_only:
         out_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
@@ -1089,7 +1150,7 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
                                          nerf_spec.logscale)))
     args += nerf_ws
     outs = call(*args)
-    sigma = outs[0][:n]
+    sigma = outs[0].reshape(-1, s)[:n]   # (1, N_pad*S) row -> (N, S)
     rgb = None if sigma_only else outs[1][:n]
     return sigma, rgb
 

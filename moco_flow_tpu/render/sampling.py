@@ -42,6 +42,58 @@ def stratified_zvals(key: jax.Array | None, near: jnp.ndarray, far: jnp.ndarray,
     return z_vals
 
 
+def compact_fine_samples(z_all: jnp.ndarray, bins: jnp.ndarray,
+                         weights: jnp.ndarray, budget: int,
+                         tau: float = 1e-4):
+    """Empty-space skipping for the fine pass: keep only samples whose
+    enclosing coarse interval carries weight, compacted to a fixed budget.
+
+    The coarse pass's compositing weights are a free occupancy estimate
+    along each ray (the same quantity sample_pdf importance-samples from).
+    Uniform coarse samples mostly land in empty space, so the fine pass —
+    which re-evaluates all sorted coarse+importance depths (reference
+    models/rendering.py:316-330) — wastes most of its FLOPs. Here samples
+    in bins with weight < tau sort to the back (key = z + BIG) and a static
+    slice keeps the first ``budget``; each sample carries its ORIGINAL
+    delta so the quadrature treats skipped space as empty, the standard
+    occupancy-skipping approximation (error bounded by tau).
+
+    No gathers: the per-sample bin weight is a difference of two
+    prefix-masked reductions, and the compaction is one extra key sort —
+    both VPU-parallel (gathers cost ~21 ms each at this shape, PERF.md).
+
+    Args:
+      z_all: (N, S) sorted fine depths.
+      bins: (N, B+1) coarse bin edges (interval midpoints, as sample_pdf).
+      weights: (N, B) coarse compositing weights for those bins.
+      budget: number of samples to keep (static).
+
+    Returns (z_k (N, budget), deltas_k (N, budget)) — z-sorted kept samples
+    first (dropped samples, alpha ~ 0 by construction, fill any remainder).
+    """
+    s = z_all.shape[1]
+    budget = min(budget, s)
+    # original per-sample deltas (with the reference's 1e10 tail)
+    deltas = jnp.concatenate(
+        [z_all[:, 1:] - z_all[:, :-1],
+         jnp.full_like(z_all[:, :1], 1e10)], axis=-1)
+    # bin weight at each sample: sum_b w_b * [e_b <= z < e_{b+1}] as a
+    # difference of two prefix reductions (gather-free)
+    lo = jnp.sum(jnp.where(bins[:, None, :-1] <= z_all[:, :, None],
+                           weights[:, None, :], 0.0), axis=-1)
+    hi = jnp.sum(jnp.where(bins[:, None, 1:] <= z_all[:, :, None],
+                           weights[:, None, :], 0.0), axis=-1)
+    w_sample = lo - hi  # (N, S); 0 outside the binned range
+    # samples outside [bins[0], bins[-1]] have no coarse estimate: keep them
+    # (they are the stratified boundary samples)
+    outside = (z_all < bins[:, :1]) | (z_all >= bins[:, -1:])
+    keep = (w_sample >= tau) | outside
+    big = jnp.asarray(1e7, z_all.dtype)
+    key_sort = jnp.where(keep, z_all, z_all + big)
+    _, z_k, d_k = jax.lax.sort((key_sort, z_all, deltas), num_keys=1)
+    return z_k[:, :budget], d_k[:, :budget]
+
+
 def sample_pdf(key: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,
                n_importance: int, det: bool = False,
                eps: float = 1e-5) -> jnp.ndarray:

@@ -26,7 +26,8 @@ from ..nn.embedding import posenc
 from ..nn.losses import masked_mean
 from ..nn.nerf import NeRFConfig, nerf_apply, nerf_apply_perray_extra, nerf_sigma
 from ..nn.nof import NoFConfig, nof_apply, nof_apply_split
-from .sampling import sample_pdf, stratified_zvals
+from .sampling import (compact_fine_samples, sample_pdf,
+                       stratified_zvals)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +80,11 @@ class RenderConfig:
     remat: bool = False  # checkpoint each MLP eval: don't store trunk
     # activations for backward (recompute instead) — cuts backward HBM
     # residency ~8x, enabling much larger per-chip ray batches
+    fine_budget: int = 0  # test-time empty-space skipping: keep only this
+    # many fine samples per ray (those in coarse bins with weight >= skip_tau
+    # sort first; sampling.compact_fine_samples). 0 = evaluate all (exact
+    # reference behavior). Render-throughput knob; error bounded by skip_tau.
+    skip_tau: float = 1e-4
 
     @property
     def dtype(self):
@@ -200,12 +206,15 @@ def _extra_embedding(nerf_cfg: NeRFConfig, statics: ModelStatics,
 
 
 def composite(sigmas: jnp.ndarray, z_vals: jnp.ndarray, dir_norm: jnp.ndarray,
-              noise: jnp.ndarray | None, activation: str):
+              noise: jnp.ndarray | None, activation: str,
+              deltas: jnp.ndarray | None = None):
     """sigma -> (alphas, weights) via the NeRF quadrature
-    (ref models/rendering.py:158-181)."""
-    deltas = z_vals[:, 1:] - z_vals[:, :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
+    (ref models/rendering.py:158-181). ``deltas`` overrides the adjacent-z
+    spacing (compacted sample sets carry their original deltas)."""
+    if deltas is None:
+        deltas = z_vals[:, 1:] - z_vals[:, :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
     deltas = deltas * dir_norm  # account for non-unit ray directions
     if noise is not None:
         sigmas = sigmas + noise
@@ -309,7 +318,7 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
 def _fused_test_pass(params: dict, nerf_key: str, statics: ModelStatics,
                      anneal: dict, rays_o, rays_d, img_ind, z_vals,
                      dir_norm, background, use_nof: bool, weights_only: bool,
-                     rcfg: RenderConfig):
+                     rcfg: RenderConfig, deltas=None):
     """Test-time pass through the combined warp+NeRF megakernel: the
     (N, S, 3) sample/warp tensors never touch HBM (ops/megakernel.py)."""
     from ..ops.megakernel import render_pass_fused
@@ -339,7 +348,7 @@ def _fused_test_pass(params: dict, nerf_key: str, statics: ModelStatics,
         use_nof=use_nof, sigma_only=weights_only,
         compute_dtype=rcfg.dtype)
     alphas, weights = composite(sigmas, z_vals, dir_norm, None,
-                                rcfg.activation)
+                                rcfg.activation, deltas=deltas)
     if weights_only:
         return None, None, weights, alphas
     rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
@@ -419,9 +428,15 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
                                 rcfg.n_importance, det=(rcfg.perturb == 0))
             z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
                              axis=-1)
+            deltas = None
+            if rcfg.fine_budget:
+                z_all, deltas = compact_fine_samples(
+                    z_all, z_mid, weights_c[:, 1:-1], rcfg.fine_budget,
+                    rcfg.skip_tau)
             rgb_f, depth_f, weights_f, _ = _fused_test_pass(
                 params, "fine_NeRF", statics, anneal, rays_o, rays_d,
-                img_ind, z_all, dir_norm, background, use_nof, False, rcfg)
+                img_ind, z_all, dir_norm, background, use_nof, False, rcfg,
+                deltas=deltas)
             result["rgb_fine"] = rgb_f
             result["depth_fine"] = depth_f
             result["opacity_fine"] = jnp.sum(weights_f, axis=1)
