@@ -60,6 +60,9 @@ from ..nn.nof import NoFConfig
 # as much as a full 128-wide activation per row.
 _FWD_ROWS = 2048
 _BWD_ROWS = 512
+# test-time pass kernels (forward-only, fewer live buffers) take bigger
+# blocks: 3072 rows measured fastest (4096 regresses — VMEM pressure)
+_PASS_ROWS = 3072
 
 
 def _rows_budget(base: int, width: int) -> int:
@@ -1011,7 +1014,7 @@ class _PassSpec:
 def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
                n_nerf_ws: int, shapes: tuple, interpret: bool):
     nerf_b = _freq_matrix(spec.nerf.kc // 3, spec.nerf.logscale)
-    r = _pick_r(n, s, _FWD_ROWS, align=8)
+    r = _pick_r(n, s, _PASS_ROWS, align=8)
     grid = pl.cdiv(n, r)
     has_nof = spec.nof is not None
     nof_b = (_freq_matrix(spec.nof.kc // 3, spec.nof.logscale)

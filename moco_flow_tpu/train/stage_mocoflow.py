@@ -245,9 +245,14 @@ class MoCoFlowTrainer(BaseTrainer):
         chain_global = self.chain_global
         trainer = self
 
+        seed = self.config.seed or 0
+
         def make_step(axis):
-            def step(params, opt_state, key, step_idx, table, directions,
+            def step(params, opt_state, step_idx, table, directions,
                      images, bkgd, corr_verts, corr_chain):
+                # key derived in-graph from the step index (a host-side
+                # fold_in costs 3 extra tiny program dispatches per step)
+                key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_r, k_chain, k_corr, k_render = jax.random.split(key, 5)
                 frame = jax.random.randint(k_f, (), 0, num_frames)
@@ -315,11 +320,10 @@ class MoCoFlowTrainer(BaseTrainer):
         if variant not in self._step_variants:
             self._step_variants[variant] = self._make_step_variant(*variant)
         ds = self.train_dataset
-        key = jax.random.fold_in(jax.random.key(self.config.seed or 0), step)
         self.params, self.opt_state, metrics = self._step_variants[variant](
-            self.params, self.opt_state, key, jnp.asarray(step), ds.table,
-            ds.directions_flat, ds.images, ds.bkgd_img, self._corr.verts,
-            self._corr.src_to_cano)
+            self.params, self.opt_state, jnp.asarray(step, jnp.int32),
+            ds.table, ds.directions_flat, ds.images, ds.bkgd_img,
+            self._corr.verts, self._corr.src_to_cano)
         metrics["state/nerf"] = 0.0 if freeze else 1.0
         if self.logger is not None and \
                 step % self.config["trainer"].get("log_freq", 100) == 0:

@@ -70,8 +70,14 @@ class NeRFTrainer(BaseTrainer):
         optimizer = self.optimizer
         rand_bkgd, has_alpha = ds.rand_bkgd, ds.has_alpha
 
+        seed = self.config.seed or 0
+
         def make_step(axis):
-            def step(params, opt_state, key, table, directions, images, bkgd):
+            def step(params, opt_state, step_idx, table, directions, images,
+                     bkgd):
+                # key derived in-graph: a host-side fold_in would dispatch
+                # 3 extra tiny programs per step over the TPU tunnel
+                key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_r, k_render = jax.random.split(key, 3)
                 frame = jax.random.randint(k_f, (), 0, num_frames)
@@ -100,11 +106,10 @@ class NeRFTrainer(BaseTrainer):
 
     def train_step(self):
         ds = self.train_dataset
-        key = jax.random.fold_in(jax.random.key(self.config.seed or 0),
-                                 self.clock.step)
+        step_idx = jnp.asarray(self.clock.step, jnp.int32)
         self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, key, ds.table, ds.directions_flat,
-            ds.images, ds.bkgd_img)
+            self.params, self.opt_state, step_idx, ds.table,
+            ds.directions_flat, ds.images, ds.bkgd_img)
         return metrics
 
     # ------------------------------------------------------------------

@@ -83,11 +83,14 @@ class NoFTrainer(BaseTrainer):
         corr_table = ds.correspondence_table
         trainer = self
 
+        seed = self.config.seed or 0
+
         def make_step(axis):
-            def step(params, opt_state, key, table_verts, table_chain,
+            def step(params, opt_state, step_idx, table_verts, table_chain,
                      norm_table):
                 from ..data.correspondence import CorrespondenceTable
                 table = CorrespondenceTable(table_verts, table_chain)
+                key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_c = jax.random.split(key)
                 frame = jax.random.randint(k_f, (), 0, num_frames)
@@ -112,10 +115,9 @@ class NoFTrainer(BaseTrainer):
         self._corr = corr_table
 
     def train_step(self):
-        key = jax.random.fold_in(jax.random.key(self.config.seed or 0),
-                                 self.clock.step)
+        step_idx = jnp.asarray(self.clock.step, jnp.int32)
         self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, key, self._corr.verts,
+            self.params, self.opt_state, step_idx, self._corr.verts,
             self._corr.src_to_cano, self.train_dataset.table.norm_idx)
         return metrics
 

@@ -22,14 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def trace_once(mode: str, steps: int, dtype: str, impl: str, n_rand: int,
-               trace_dir: str) -> None:
+               trace_dir: str, fine_budget: int = 0) -> None:
     import jax
     from bench import bench_render, bench_train, build_trainer
 
     with tempfile.TemporaryDirectory() as tmp:
         trainer = build_trainer(os.path.join(tmp, "scene"),
                                 os.path.join(tmp, "log"), dtype, impl,
-                                mesh=None, n_rand=n_rand)
+                                mesh=None, n_rand=n_rand,
+                                fine_budget=fine_budget)
         # compile outside the trace
         if mode == "train":
             bench_train(trainer, 1)
@@ -70,13 +71,14 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--n_rand", type=int, default=1024)
+    ap.add_argument("--fine_budget", type=int, default=0)
     ap.add_argument("--trace_dir", default="/tmp/mocoflow_trace")
     ap.add_argument("--summarize_only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         trace_once(args.mode, args.steps, args.dtype, args.impl, args.n_rand,
-                   args.trace_dir)
+                   args.trace_dir, args.fine_budget)
     summarize(args.trace_dir)
 
 

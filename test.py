@@ -36,6 +36,9 @@ def test(config: Config, args, smpl_data=None):
     config.raw["model"]["pretrained_nerf"] = None
     config.raw["model"]["pretrained_nof"] = None
     config.raw["dataloader"]["bkgd"] = 1.0
+    if getattr(args, 'fine_budget', None) is not None:
+        # test-time empty-space skipping (PARITY.md; 0 = exact sampling)
+        config.raw["model"]["fine_budget"] = args.fine_budget
     trainer.build_model(config["model"])
 
     if config.resume:
@@ -96,6 +99,10 @@ def main():
     args.add_argument("--N_grid", default=512, type=int)
     args.add_argument("--sigma_threshold", default=10, type=int)
     args.add_argument("--render_frame", default=None, type=int)
+    args.add_argument("--fine_budget", default=None, type=int,
+                      help="test-time empty-space skipping: fine samples "
+                           "kept per ray (multiples of 128 are fastest; "
+                           "0/absent = exact reference sampling)")
     args.add_argument("--eval_metrics", action="store_true",
                       help="compute mean PSNR/SSIM over the val sequence")
     args.add_argument("--eval_max_frames", default=None, type=int)
