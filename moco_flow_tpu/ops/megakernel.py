@@ -997,6 +997,308 @@ _nof_op.defvjp(_nof_op_fwd, _nof_op_bwd)
 
 
 # ===========================================================================
+# Fused NoF warp CHAIN (training): bw warp + local fw reconstruction +
+# global chain fw/bw/fw — up to five sequential NoF evaluations whose
+# intermediates stay in VMEM (the reference evaluates them as five separate
+# passes, models/rendering.py:270-282; as separate kernels each intermediate
+# (N, S, 3) costs a lane-padded HBM round trip). One custom VJP backs the
+# whole chain: the backward kernel recomputes the stage inputs once and
+# reuses the per-warp VJP tile, accumulating bw/fw weight gradients across
+# warps AND grid steps in VMEM.
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class _ChainSpec:
+    nof: _NofSpec
+    chain_local: bool
+    chain_global: bool
+
+
+def _chain_stages(spec: _ChainSpec):
+    """Static chain layout: (net, partial-set) per stage. Partial sets:
+    0 = bw@ind, 1 = fw@ind, 2 = fw@chained, 3 = bw@chained."""
+    stages = [("bw", 0)]
+    if spec.chain_local:
+        stages.append(("fw", 1))
+    if spec.chain_global:
+        stages += [("fw", 2), ("bw", 3), ("fw", 1)]
+    return stages
+
+
+@functools.lru_cache(maxsize=32)
+def _chain_fwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
+                    n_sets: int, ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
+    r = _pick_r(n, s, _FWD_ROWS)
+    grid = pl.cdiv(n, r)
+    w = spec.nof.width
+    n_out = 1 + int(spec.chain_local) + int(spec.chain_global)
+
+    def kernel(*refs):
+        x = refs[0][...].reshape(r * s, 3)
+        sets = []
+        for k in range(n_sets):
+            sets.append([jnp.broadcast_to(
+                refs[1 + k * n_pe + j][...], (r, s, w)).reshape(r * s, w)
+                for j in range(n_pe)])
+        i = 1 + n_sets * n_pe
+        b_ref = refs[i][...]
+        ws_bw = [refs[i + 1 + k][...] for k in range(n_ws)]
+        ws_fw = [refs[i + 1 + n_ws + k][...] for k in range(n_ws)]
+        outs = refs[i + 1 + 2 * n_ws:]
+        ws_by = {"bw": ws_bw, "fw": ws_fw}
+
+        o = 0
+        cano = None
+        cur = x
+        for si, (net, ps) in enumerate(_chain_stages(spec)):
+            cur, _ = _nof_tile(cur, sets[ps], ws_by[net], spec.nof, b_ref)
+            if si == 0:
+                cano = cur
+                outs[o][...] = cur.reshape(r, s, 3)
+                o += 1
+            elif spec.chain_local and si == 1:
+                outs[o][...] = cur.reshape(r, s, 3)  # recon
+                o += 1
+                cur = cano                            # global chain restarts
+        if spec.chain_global:
+            outs[o][...] = cur.reshape(r, s, 3)       # chain_recon
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(n_sets * n_pe):
+        in_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes + ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)] * n_out
+    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3),
+                                       jnp.float32)] * n_out
+    return pl.pallas_call(
+        kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    ), grid * r - n
+
+
+@functools.lru_cache(maxsize=32)
+def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
+                    n_sets: int, ws_shapes: tuple, interpret: bool):
+    b_mat = _freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
+    # the chain backward holds 5 stage inputs + a per-warp VJP footprint:
+    # no width multiplier (1024 rows measured 21.8M scoped VMEM, OOM)
+    r = _pick_r(n, s, _BWD_ROWS)
+    grid = pl.cdiv(n, r)
+    w = spec.nof.width
+    n_out = 1 + int(spec.chain_local) + int(spec.chain_global)
+
+    def kernel(*refs):
+        x = refs[0][...].reshape(r * s, 3)
+        sets = []
+        for k in range(n_sets):
+            sets.append([jnp.broadcast_to(
+                refs[1 + k * n_pe + j][...], (r, s, w)).reshape(r * s, w)
+                for j in range(n_pe)])
+        i = 1 + n_sets * n_pe
+        b_ref = refs[i][...]
+        ws_bw = [refs[i + 1 + k][...] for k in range(n_ws)]
+        ws_fw = [refs[i + 1 + n_ws + k][...] for k in range(n_ws)]
+        i = i + 1 + 2 * n_ws
+        gs = [refs[i + k][...].reshape(r * s, 3) for k in range(n_out)]
+        outs = refs[i + n_out:]
+        ws_by = {"bw": ws_bw, "fw": ws_fw}
+
+        # recompute stage inputs once
+        stages = _chain_stages(spec)
+        inputs = []
+        cano = None
+        cur = x
+        for si, (net, ps) in enumerate(stages):
+            inputs.append(cur)
+            cur, _ = _nof_tile(cur, sets[ps], ws_by[net], spec.nof, b_ref)
+            if si == 0:
+                cano = cur
+            elif spec.chain_local and si == 1:
+                cur = cano
+
+        # reverse chain rule; per-warp VJP recomputes its own activations
+        g_cano = gs[0]
+        g_recon = gs[1] if spec.chain_local else None
+        g_chain = gs[-1] if spec.chain_global else None
+        zero_ws = [jnp.zeros(shp, jnp.float32) for shp in ws_shapes]
+        dws = {"bw": list(zero_ws), "fw": [jnp.zeros(shp, jnp.float32)
+                                           for shp in ws_shapes]}
+        dsets = [[jnp.zeros((r, 1, w), jnp.float32) for _ in range(n_pe)]
+                 for _ in range(n_sets)]
+        d_cano = g_cano
+        local_i = 1 if spec.chain_local else None
+        glob0 = (2 if spec.chain_local else 1)
+
+        def warp_vjp(si, g):
+            net, ps = stages[si]
+            dx_, dps_, dws_ = _nof_bwd_tile(inputs[si], sets[ps],
+                                            ws_by[net], g, spec.nof,
+                                            b_ref, r, s)
+            dws[net] = [a + b for a, b in zip(dws[net], dws_)]
+            dsets[ps] = [a + b for a, b in zip(dsets[ps], dps_)]
+            return dx_
+
+        if spec.chain_global:
+            d_ch_cano = warp_vjp(glob0 + 2, g_chain)
+            d_chained = warp_vjp(glob0 + 1, d_ch_cano)
+            d_cano = d_cano + warp_vjp(glob0, d_chained)
+        if spec.chain_local:
+            d_cano = d_cano + warp_vjp(local_i, g_recon)
+        dx = warp_vjp(0, d_cano)
+
+        outs[0][...] = dx.reshape(r, s, 3)
+        o = 1
+        for k in range(n_sets):
+            for j in range(n_pe):
+                outs[o][...] = dsets[k][j]
+                o += 1
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oo = o
+            for net in ("bw", "fw"):
+                for dw in dws[net]:
+                    outs[oo][...] = dw
+                    oo += 1
+
+        @pl.when(pl.program_id(0) > 0)
+        def _():
+            oo = o
+            for net in ("bw", "fw"):
+                for dw in dws[net]:
+                    outs[oo][...] = outs[oo][...] + dw
+                    oo += 1
+
+    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(n_sets * n_pe):
+        in_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(b_mat.shape, (lambda i: (0, 0)),
+                                 memory_space=pltpu.VMEM))
+    for shp in ws_shapes + ws_shapes:
+        in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+    for _ in range(n_out):
+        in_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
+    for _ in range(n_sets * n_pe):
+        out_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((grid * r, 1, w), jnp.float32))
+    for shp in ws_shapes + ws_shapes:
+        out_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    return pl.pallas_call(
+        kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    ), grid * r - n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _chain_op(spec: _ChainSpec, n_pe: int, n_sets: int, xyz, *arrs):
+    n, s = xyz.shape[0], xyz.shape[1]
+    n_parts = n_sets * n_pe
+    n_ws = (len(arrs) - n_parts) // 2
+    ws_shapes = tuple(a.shape for a in arrs[n_parts:n_parts + n_ws])
+    call, n_pad = _chain_fwd_call(spec, n, s, n_ws, n_pe, n_sets, ws_shapes,
+                                  _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
+    args = ([_pad_rays(xyz, n_pad)]
+            + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
+            + [b_mat] + list(arrs[n_parts:]))
+    outs = call(*args)
+    return tuple(o[:n] for o in outs)
+
+
+def _chain_op_fwd(spec, n_pe, n_sets, xyz, *arrs):
+    return _chain_op(spec, n_pe, n_sets, xyz, *arrs), (xyz, arrs)
+
+
+def _chain_op_bwd(spec, n_pe, n_sets, res, gs):
+    xyz, arrs = res
+    n, s = xyz.shape[0], xyz.shape[1]
+    n_parts = n_sets * n_pe
+    n_ws = (len(arrs) - n_parts) // 2
+    ws_shapes = tuple(a.shape for a in arrs[n_parts:n_parts + n_ws])
+    call, n_pad = _chain_bwd_call(spec, n, s, n_ws, n_pe, n_sets, ws_shapes,
+                                  _interpret())
+    b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
+    args = ([_pad_rays(xyz, n_pad)]
+            + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
+            + [b_mat] + list(arrs[n_parts:])
+            + [_pad_rays(g, n_pad) for g in gs])
+    outs = call(*args)
+    dx = outs[0][:n]
+    dparts = tuple(outs[1 + i][:n] for i in range(n_parts))
+    dws = tuple(d.astype(a.dtype)
+                for d, a in zip(outs[1 + n_parts:], arrs[n_parts:]))
+    return (dx, *dparts, *dws)
+
+
+_chain_op.defvjp(_chain_op_fwd, _chain_op_bwd)
+
+
+def nof_chain_rays(params: dict, cfg: NoFConfig, n_freqs: int,
+                   logscale: bool, anneal, xyz: jnp.ndarray,
+                   ind_emb: jnp.ndarray, chained_emb,
+                   chain_local: bool, chain_global: bool,
+                   compute_dtype=None):
+    """Run the full training NoF warp chain in one fused kernel.
+
+    Args:
+      xyz: (N, S, 3); ind_emb / chained_emb: (N, E) per-ray embedded frame
+        indices (chained_emb only needed when chain_global).
+
+    Returns (cano, recon | None, chain_recon | None), each (N, S, 3).
+    """
+    dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    nof_spec = _NofSpec(
+        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        skips=tuple(cfg.skips), use_quat=cfg.use_quat,
+        dtype_name=dtype_name, logscale=logscale)
+    spec = _ChainSpec(nof=nof_spec, chain_local=chain_local,
+                      chain_global=chain_global)
+    with_fw = chain_local or chain_global
+
+    ws_bw, p_bw_ind = _nof_fold(params["bw_NoF"], cfg, n_freqs, anneal,
+                                ind_emb)
+    ws_fw, p_fw_ind = (_nof_fold(params["fw_NoF"], cfg, n_freqs, anneal,
+                                 ind_emb) if with_fw else (ws_bw, p_bw_ind))
+    sets = [p_bw_ind, p_fw_ind]
+    if chain_global:
+        _, p_fw_ch = _nof_fold(params["fw_NoF"], cfg, n_freqs, anneal,
+                               chained_emb)
+        _, p_bw_ch = _nof_fold(params["bw_NoF"], cfg, n_freqs, anneal,
+                               chained_emb)
+        sets += [p_fw_ch, p_bw_ch]
+    n_pe = len(p_bw_ind)
+    parts = [p[:, None, :] for st in sets for p in st]
+    ws_bw = _cast_matrices(ws_bw, compute_dtype)
+    ws_fw = _cast_matrices(ws_fw, compute_dtype)
+    outs = _chain_op(spec, n_pe, len(sets), xyz, *parts, *ws_bw, *ws_fw)
+    cano = outs[0]
+    recon = outs[1] if chain_local else None
+    chain_recon = outs[-1] if chain_global else None
+    return cano, recon, chain_recon
+
+
+# ===========================================================================
 # Combined test-time render pass: rays+z in -> (bw-NoF warp ->) NeRF -> out.
 # One kernel per pass: the (N, S, 3) xyz and warped-xyz tensors never exist
 # in HBM (each would cost ~2.1 GB lane-padded per 16k-ray tile), and the

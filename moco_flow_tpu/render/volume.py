@@ -448,6 +448,28 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         """bw warp (+ local/global chains) for one sample set
         (ref models/rendering.py:270-282,335-344)."""
         out = {}
+        if (rcfg.mlp_impl == "fused" and not rcfg.test_time
+                and (rcfg.chain_local or rcfg.chain_global)):
+            # whole chain (up to 5 NoF evals) in ONE kernel: intermediates
+            # stay in VMEM instead of 4 lane-padded HBM round trips
+            from ..ops.megakernel import nof_chain_rays
+            cfg = statics.nof
+            ind_emb = embed_padded(img_ind, statics.nof_ind,
+                                   cfg.extra_feat_dim)
+            ch_emb = (embed_padded(chained_ind, statics.nof_ind,
+                                   cfg.extra_feat_dim)
+                      if rcfg.chain_global else None)
+            cano, recon, chain_recon = nof_chain_rays(
+                params, cfg, statics.nof_xyz.n_freqs,
+                statics.nof_xyz.logscale, anneal.get("nof_xyz"),
+                xyz_sampled, ind_emb, ch_emb, rcfg.chain_local,
+                rcfg.chain_global, compute_dtype=rcfg.dtype)
+            out["cano"] = cano
+            if recon is not None:
+                out["recon"] = recon
+            if chain_recon is not None:
+                out["chain_recon"] = chain_recon
+            return out
         cano = nof_warp(params["bw_NoF"], statics, anneal, xyz_sampled,
                         img_ind, rcfg)
         out["cano"] = cano

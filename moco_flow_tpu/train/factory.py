@@ -63,14 +63,13 @@ def render_config(model_cfg: dict, use_nof: bool = False,
                   mlp_impl: str | None = None) -> RenderConfig:
     impl = mlp_impl or model_cfg.get("mlp_impl", "auto")
     if impl == "auto":
-        # fused VMEM megakernels for test-time rendering on real TPUs (the
-        # XLA trunk is HBM-bound at 4M-row render megabatches, PERF.md);
-        # plain XLA for training (at 262k-row train batches XLA's fusions
-        # win over the kernel backward's recompute — measured round 2) and
-        # on the CPU test backend (Pallas would run interpreted there)
+        # fused VMEM megakernels on real TPUs — fastest for both test-time
+        # rendering (the XLA trunk is HBM-bound at 4M-row megabatches) and,
+        # since the fused NoF warp-chain kernel, training (22.9k vs 21.6k
+        # rays/s XLA, PERF.md). Plain XLA on the CPU test backend, where
+        # Pallas would run interpreted.
         import jax
-        impl = ("fused" if test_time and jax.default_backend() != "cpu"
-                else "xla")
+        impl = "xla" if jax.default_backend() == "cpu" else "fused"
     return RenderConfig(
         n_samples=model_cfg.get("N_samples", 64),
         n_importance=model_cfg.get("N_importance", 0),

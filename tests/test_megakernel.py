@@ -342,6 +342,74 @@ def test_render_rays_fused_matches_xla():
         < 3e-2
 
 
+def test_render_rays_fused_chain_grads():
+    """Gradients through the fused NoF chain kernel (train path: bw + local
+    + global chains in one kernel with one VJP) vs the XLA renderer."""
+    import dataclasses as dc
+    from moco_flow_tpu.render.volume import (ModelStatics, RenderConfig,
+                                             render_rays)
+    ncfg = NeRFConfig(depth=4, width=64, in_channels_xyz=27, skips=(2,),
+                      extra_feat_type="ind", extra_feat_dim=5)
+    fcfg = NoFConfig(depth=4, width=32, in_channels_xyz=21, skips=(2,),
+                     extra_feat_dim=21, use_quat=True)
+    statics = ModelStatics(
+        coarse=ncfg, fine=ncfg, nof=fcfg,
+        nerf_xyz=EmbeddingSpec(4), nerf_ind=EmbeddingSpec(2, in_channels=1),
+        nof_xyz=EmbeddingSpec(3), nof_ind=EmbeddingSpec(3, in_channels=1))
+    keys = jax.random.split(jax.random.key(0), 4)
+    params = {
+        "coarse_NeRF": init_nerf(keys[0], ncfg),
+        "fine_NeRF": init_nerf(keys[1], ncfg),
+        "bw_NoF": init_nof(keys[2], fcfg),
+        "fw_NoF": init_nof(keys[3], fcfg),
+    }
+    n = 8
+    rng = np.random.default_rng(3)
+    o = np.tile([0.0, 0.0, 3.0], (n, 1))
+    d = rng.normal(size=(n, 3))
+    d = -np.abs(d) / np.linalg.norm(d, -1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 2.0), np.full((n, 1), 4.0),
+         np.full((n, 1), 0.25), np.full((n, 1), -0.5)], -1), jnp.float32)
+    bg = jnp.ones((n, 3))
+    base = RenderConfig(n_samples=16, n_importance=16, perturb=0.0,
+                        use_nof=True, chain_local=True, chain_global=True)
+
+    def loss(p, rcfg):
+        res = render_rays(p, statics, {}, rays, bg, jax.random.key(1), rcfg)
+        return (jnp.sum(res["rgb_fine"] ** 2)
+                + res["nof_local_disp_coarse"] + res["nof_local_disp_fine"]
+                + res["nof_global_disp_coarse"]
+                + res["nof_global_disp_fine"])
+
+    gx = jax.grad(lambda p: loss(p, base))(params)
+    gf = jax.grad(lambda p: loss(p, dc.replace(base, mlp_impl="fused")))(
+        params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+    # chain-variant coverage: local-only and global-only configurations
+    def loss_var(p, rcfg):
+        res = render_rays(p, statics, {}, rays, bg, jax.random.key(1), rcfg)
+        out = jnp.sum(res["rgb_fine"] ** 2)
+        for k in res:
+            if k.startswith("nof_"):
+                out = out + res[k]
+        return out
+
+    for kw in [dict(chain_local=True, chain_global=False),
+               dict(chain_local=False, chain_global=True)]:
+        var = dc.replace(base, **kw)
+        gx = jax.grad(lambda p: loss_var(p, var))(params)
+        gf = jax.grad(lambda p: loss_var(
+            p, dc.replace(var, mlp_impl="fused")))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4,
+                                       err_msg=str(kw))
+
+
 def test_render_rays_fused_stage1_and_testtime():
     """Stage-1 shape (dir-conditioned rgb, no NoF) and the test-time
     sigma-only coarse pass through the fused path."""
