@@ -43,24 +43,26 @@ def stratified_zvals(key: jax.Array | None, near: jnp.ndarray, far: jnp.ndarray,
 
 
 def compact_fine_samples(z_all: jnp.ndarray, bins: jnp.ndarray,
-                         weights: jnp.ndarray, budget: int,
-                         tau: float = 1e-4):
-    """Empty-space skipping for the fine pass: keep only samples whose
-    enclosing coarse interval carries weight, compacted to a fixed budget.
+                         weights: jnp.ndarray, budget: int):
+    """Empty-space skipping for the fine pass: keep the ``budget`` samples
+    whose enclosing coarse intervals carry the MOST compositing weight.
 
     The coarse pass's compositing weights are a free occupancy estimate
     along each ray (the same quantity sample_pdf importance-samples from).
     Uniform coarse samples mostly land in empty space, so the fine pass —
     which re-evaluates all sorted coarse+importance depths (reference
-    models/rendering.py:316-330) — wastes most of its FLOPs. Here samples
-    in bins with weight < tau sort to the back (key = z + BIG) and a static
-    slice keeps the first ``budget``; each sample carries its ORIGINAL
-    delta so the quadrature treats skipped space as empty, the standard
-    occupancy-skipping approximation (error bounded by tau).
+    models/rendering.py:316-330) — wastes most of its FLOPs. Here each
+    sample is scored with its bin's weight, the top-``budget`` are kept
+    (NOT a nearest-first truncation — on diffuse, partially-trained fields
+    that would drop real far-side contributions), and the kept set is
+    re-sorted by depth for the quadrature. Each sample carries its
+    ORIGINAL delta so skipped space composites as empty — the standard
+    occupancy-skipping approximation; the error is bounded by the total
+    weight of the dropped bins.
 
     No gathers: the per-sample bin weight is a difference of two
-    prefix-masked reductions, and the compaction is one extra key sort —
-    both VPU-parallel (gathers cost ~21 ms each at this shape, PERF.md).
+    prefix-masked reductions, and the compaction is two key sorts — all
+    VPU-parallel (gathers cost ~21 ms each at this shape, PERF.md).
 
     Args:
       z_all: (N, S) sorted fine depths.
@@ -68,8 +70,8 @@ def compact_fine_samples(z_all: jnp.ndarray, bins: jnp.ndarray,
       weights: (N, B) coarse compositing weights for those bins.
       budget: number of samples to keep (static).
 
-    Returns (z_k (N, budget), deltas_k (N, budget)) — z-sorted kept samples
-    first (dropped samples, alpha ~ 0 by construction, fill any remainder).
+    Returns (z_k (N, budget), deltas_k (N, budget)), z-ascending. A full
+    budget reproduces the exact sample set bit-for-bit.
     """
     s = z_all.shape[1]
     budget = min(budget, s)
@@ -84,14 +86,16 @@ def compact_fine_samples(z_all: jnp.ndarray, bins: jnp.ndarray,
     hi = jnp.sum(jnp.where(bins[:, None, 1:] <= z_all[:, :, None],
                            weights[:, None, :], 0.0), axis=-1)
     w_sample = lo - hi  # (N, S); 0 outside the binned range
-    # samples outside [bins[0], bins[-1]] have no coarse estimate: keep them
-    # (they are the stratified boundary samples)
+    # samples outside [bins[0], bins[-1]] have no coarse estimate — rank
+    # them first (they are the boundary strata the reference always
+    # evaluates, and there are only a couple per ray)
     outside = (z_all < bins[:, :1]) | (z_all >= bins[:, -1:])
-    keep = (w_sample >= tau) | outside
-    big = jnp.asarray(1e7, z_all.dtype)
-    key_sort = jnp.where(keep, z_all, z_all + big)
-    _, z_k, d_k = jax.lax.sort((key_sort, z_all, deltas), num_keys=1)
-    return z_k[:, :budget], d_k[:, :budget]
+    score = jnp.where(outside, jnp.asarray(jnp.finfo(z_all.dtype).max,
+                                           z_all.dtype), w_sample)
+    _, z_top, d_top = jax.lax.sort((-score, z_all, deltas), num_keys=1)
+    z_k, d_k = jax.lax.sort((z_top[:, :budget], d_top[:, :budget]),
+                            num_keys=1)
+    return z_k, d_k
 
 
 def sample_pdf(key: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,

@@ -80,11 +80,11 @@ class RenderConfig:
     remat: bool = False  # checkpoint each MLP eval: don't store trunk
     # activations for backward (recompute instead) — cuts backward HBM
     # residency ~8x, enabling much larger per-chip ray batches
-    fine_budget: int = 0  # test-time empty-space skipping: keep only this
-    # many fine samples per ray (those in coarse bins with weight >= skip_tau
-    # sort first; sampling.compact_fine_samples). 0 = evaluate all (exact
-    # reference behavior). Render-throughput knob; error bounded by skip_tau.
-    skip_tau: float = 1e-4
+    fine_budget: int = 0  # test-time empty-space skipping: keep the
+    # fine samples whose coarse bins carry the most weight, compacted to
+    # this budget (sampling.compact_fine_samples). 0 = evaluate all (exact
+    # reference behavior). Render-throughput knob; error bounded by the
+    # dropped bins' total weight.
 
     @property
     def dtype(self):
@@ -431,8 +431,7 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
             deltas = None
             if rcfg.fine_budget:
                 z_all, deltas = compact_fine_samples(
-                    z_all, z_mid, weights_c[:, 1:-1], rcfg.fine_budget,
-                    rcfg.skip_tau)
+                    z_all, z_mid, weights_c[:, 1:-1], rcfg.fine_budget)
             rgb_f, depth_f, weights_f, _ = _fused_test_pass(
                 params, "fine_NeRF", statics, anneal, rays_o, rays_d,
                 img_ind, z_all, dir_norm, background, use_nof, False, rcfg,

@@ -83,7 +83,6 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         mlp_impl=impl,
         remat=bool(model_cfg.get("remat", False)) and not test_time,
         # test-time empty-space skipping (render/sampling.py): only the
-        # fused test-time path consumes these
+        # fused test-time path consumes this
         fine_budget=int(model_cfg.get("fine_budget", 0)),
-        skip_tau=float(model_cfg.get("skip_tau", 1e-4)),
     )

@@ -25,13 +25,21 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Time with a scalar READBACK per iteration: on the tunneled backend
+    `block_until_ready` does not reliably wait for execution (CLAUDE.md #7),
+    so sync through a device->host read and subtract the measured floor."""
+    import jax.numpy as jnp
+
+    def read(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf))
+
+    read(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        read(fn(*args))
+    per = (time.perf_counter() - t0) / iters
+    return max(per - 0.027, 1e-6)  # ~27 ms tunnel readback floor
 
 
 def main():

@@ -326,16 +326,16 @@ def test_render_rays_fused_matches_xla():
         np.testing.assert_allclose(out_f[k], out_x[k], rtol=5e-4, atol=5e-4,
                                    err_msg=k)
 
-    # empty-space skipping: a full budget with tau=0 keeps every sample in
-    # z order — bit-identical to the exact path; a reduced budget stays
-    # close (dropped samples sit in coarse bins with weight < tau)
-    full = dc.replace(tt, mlp_impl="fused", fine_budget=32, skip_tau=0.0)
+    # empty-space skipping: a full budget keeps every sample in z order —
+    # bit-identical to the exact path; a reduced budget stays close (the
+    # dropped samples sit in the lowest-weight coarse bins)
+    full = dc.replace(tt, mlp_impl="fused", fine_budget=32)
     out_b = render_rays(params, statics, anneal, rays, bg, jax.random.key(1),
                         full)
     for k in out_f:
         np.testing.assert_allclose(out_b[k], out_f[k], rtol=1e-6, atol=1e-6,
                                    err_msg=k)
-    cut = dc.replace(tt, mlp_impl="fused", fine_budget=24, skip_tau=1e-3)
+    cut = dc.replace(tt, mlp_impl="fused", fine_budget=24)
     out_c = render_rays(params, statics, anneal, rays, bg, jax.random.key(1),
                         cut)
     assert float(jnp.max(jnp.abs(out_c["rgb_fine"] - out_f["rgb_fine"]))) \

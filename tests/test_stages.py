@@ -155,6 +155,21 @@ def test_stage1_overfit(scene, tmp_path):
     # val path
     val = trainer.val_step()
     assert np.isfinite(val["val_psnr"])
+    # empty-space skipping on a TRAINED density field: a reduced fine
+    # budget must render close to the exact path (it keeps the top-weight
+    # coarse bins' samples)
+    import dataclasses as dc
+    import jax.numpy as jnp
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays(0)
+    rcfg = dc.replace(trainer.rcfg_test, mlp_impl="fused")
+    exact = trainer.render_rays_chunked(rays[:256], jnp.ones((256, 3)), rcfg,
+                                        chunk=256)
+    cut = trainer.render_rays_chunked(
+        rays[:256], jnp.ones((256, 3)),
+        dc.replace(rcfg, fine_budget=24), chunk=256)
+    err = float(jnp.mean(jnp.abs(cut["rgb_fine"] - exact["rgb_fine"])))
+    assert err < 2e-2, err
     # checkpoint roundtrip
     trainer.save_ckpt("final")
     p0 = jax.tree_util.tree_leaves(trainer.params)[0].copy()
