@@ -9,9 +9,12 @@ c2f.yaml:34,142; see BASELINE.md).
 
 ``vs_baseline`` = ours / 2.0e4.
 
-Flags: --mode {train|render}, --dtype {float32|bfloat16}, --impl {xla|pallas},
---steps N. Render mode measures test-time novel-view throughput instead
-(target >= 1e6 rays/s/chip, BASELINE.md).
+The default ``--mode both`` reports the train axis plus a
+``render_rays_per_sec_per_chip`` field for test-time novel-view throughput
+(north star >= 1e6 rays/s/chip, BASELINE.md). ``--impl auto`` (default)
+resolves to the fused VMEM megakernels on TPU; ``--fine_budget`` (default
+128) enables empty-space skipping for the render axis (0 = exact reference
+sampling; see PARITY.md).
 """
 
 from __future__ import annotations
