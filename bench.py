@@ -33,7 +33,7 @@ BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
 
 
 def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
-                  fine_budget=0):
+                  fine_budget=0, coarse_probe=0):
     from __graft_entry__ import _tiny_moco_config
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
@@ -47,7 +47,7 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
     m.update({"N_rand": n_rand, "N_samples": 128, "N_importance": 128,
               "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
               "perturb": 1.0, "remat": n_rand > 1024,
-              "fine_budget": fine_budget})
+              "fine_budget": fine_budget, "coarse_probe": coarse_probe})
     config = Config(cfg, mode="train")
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 
@@ -102,6 +102,13 @@ def main():
                          "per ray (0 = exact reference sampling; the "
                          "default 128 halves the fine pass at max rgb error "
                          "~3e-6 on the bench scene — PARITY.md)")
+    ap.add_argument("--coarse_probe", type=int, default=32,
+                    help="test-time coarse subsampling: strided sigma probe "
+                         "count (0 = evaluate all coarse samples; the "
+                         "default 32 quarters the coarse pass — the "
+                         "importance pdf becomes a 32-bin histogram, a "
+                         "standard coarse resolution — at max rgb error "
+                         "~7e-7 on the bench scene)")
     args = ap.parse_args()
 
     # keep stdout clean for the single JSON line
@@ -111,7 +118,8 @@ def main():
         trainer = build_trainer(os.path.join(tmp, "scene"),
                                 os.path.join(tmp, "log"), args.dtype,
                                 args.impl, mesh=None, n_rand=args.n_rand,
-                                fine_budget=args.fine_budget)
+                                fine_budget=args.fine_budget,
+                                coarse_probe=args.coarse_probe)
         render_value = None
         if args.mode in ("render", "both"):
             render_value = bench_render(
@@ -132,6 +140,7 @@ def main():
         "vs_baseline": round(value / base, 3),
         "config": {"mode": args.mode, "dtype": args.dtype, "impl": args.impl,
                    "fine_budget": args.fine_budget,
+                   "coarse_probe": args.coarse_probe,
                    "step_shape": "1024 rays x (128+128) samples, chain+nof+msk"
                    if args.mode != "render" else "full-frame test render"},
     }

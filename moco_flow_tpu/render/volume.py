@@ -85,6 +85,10 @@ class RenderConfig:
     # this budget (sampling.compact_fine_samples). 0 = evaluate all (exact
     # reference behavior). Render-throughput knob; error bounded by the
     # dropped bins' total weight.
+    coarse_probe: int = 0  # test-time coarse subsampling: evaluate the
+    # sigma-only coarse pass on this many strided stratified depths
+    # (must divide n_samples) instead of all of them — the importance pdf
+    # and skip scores then come from a coarser histogram. 0 = exact.
 
     @property
     def dtype(self):
@@ -415,15 +419,23 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
     if fused_tt:
         dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         coarse_weights_only = rcfg.n_importance > 0
+        # opt-in coarse probe (PARITY.md): evaluate the sigma-only coarse
+        # pass on a strided subset of the stratified depths — its only
+        # test-time consumers are the importance pdf and the skip scores,
+        # so a P-bin histogram suffices; the fine pass still evaluates the
+        # full stratified + importance sample set
+        probe = (rcfg.coarse_probe
+                 if coarse_weights_only and rcfg.coarse_probe else 0)
+        z_c = z_vals[:, ::rcfg.n_samples // probe] if probe else z_vals
         rgb_c, depth_c, weights_c, _ = _fused_test_pass(
             params, "coarse_NeRF", statics, anneal, rays_o, rays_d, img_ind,
-            z_vals, dir_norm, background, use_nof, coarse_weights_only, rcfg)
+            z_c, dir_norm, background, use_nof, coarse_weights_only, rcfg)
         result["opacity_coarse"] = jnp.sum(weights_c, axis=1)
         if not coarse_weights_only:
             result["rgb_coarse"] = rgb_c
             result["depth_coarse"] = depth_c
         if rcfg.n_importance > 0:
-            z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+            z_mid = 0.5 * (z_c[:, :-1] + z_c[:, 1:])
             z_fine = sample_pdf(k_pdf, z_mid, weights_c[:, 1:-1],
                                 rcfg.n_importance, det=(rcfg.perturb == 0))
             z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),

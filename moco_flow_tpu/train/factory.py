@@ -82,7 +82,8 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         compute_dtype=compute_dtype or model_cfg.get("compute_dtype", "float32"),
         mlp_impl=impl,
         remat=bool(model_cfg.get("remat", False)) and not test_time,
-        # test-time empty-space skipping (render/sampling.py): only the
-        # fused test-time path consumes this
+        # test-time empty-space skipping + coarse probe (render/volume.py,
+        # render/sampling.py): only the fused test-time path consumes these
         fine_budget=int(model_cfg.get("fine_budget", 0)),
+        coarse_probe=int(model_cfg.get("coarse_probe", 0)),
     )

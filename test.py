@@ -39,6 +39,8 @@ def test(config: Config, args, smpl_data=None):
     if getattr(args, 'fine_budget', None) is not None:
         # test-time empty-space skipping (PARITY.md; 0 = exact sampling)
         config.raw["model"]["fine_budget"] = args.fine_budget
+    if getattr(args, 'coarse_probe', None) is not None:
+        config.raw["model"]["coarse_probe"] = args.coarse_probe
     trainer.build_model(config["model"])
 
     if config.resume:
@@ -103,6 +105,10 @@ def main():
                       help="test-time empty-space skipping: fine samples "
                            "kept per ray (multiples of 128 are fastest; "
                            "0/absent = exact reference sampling)")
+    args.add_argument("--coarse_probe", default=None, type=int,
+                      help="test-time coarse subsampling: strided sigma "
+                           "probe count (must divide N_samples; 0/absent "
+                           "= exact)")
     args.add_argument("--eval_metrics", action="store_true",
                       help="compute mean PSNR/SSIM over the val sequence")
     args.add_argument("--eval_max_frames", default=None, type=int)

@@ -341,6 +341,20 @@ def test_render_rays_fused_matches_xla():
     assert float(jnp.max(jnp.abs(out_c["rgb_fine"] - out_f["rgb_fine"]))) \
         < 3e-2
 
+    # coarse probe: probe == n_samples is stride 1 == exact
+    pr = dc.replace(tt, mlp_impl="fused", coarse_probe=16)
+    out_p = render_rays(params, statics, anneal, rays, bg, jax.random.key(1),
+                        pr)
+    for k in out_f:
+        np.testing.assert_allclose(out_p[k], out_f[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+    # reduced probe still renders finite, correct shapes
+    pr8 = dc.replace(tt, mlp_impl="fused", coarse_probe=8, fine_budget=24)
+    out_p8 = render_rays(params, statics, anneal, rays, bg,
+                         jax.random.key(1), pr8)
+    assert out_p8["rgb_fine"].shape == out_f["rgb_fine"].shape
+    assert bool(jnp.all(jnp.isfinite(out_p8["rgb_fine"])))
+
 
 def test_render_rays_fused_chain_grads():
     """Gradients through the fused NoF chain kernel (train path: bw + local

@@ -170,6 +170,13 @@ def test_stage1_overfit(scene, tmp_path):
         dc.replace(rcfg, fine_budget=24), chunk=256)
     err = float(jnp.mean(jnp.abs(cut["rgb_fine"] - exact["rgb_fine"])))
     assert err < 2e-2, err
+    # coarse probe on the trained field: the importance pdf from an 8-bin
+    # histogram must still render close
+    prb = trainer.render_rays_chunked(
+        rays[:256], jnp.ones((256, 3)),
+        dc.replace(rcfg, fine_budget=24, coarse_probe=8), chunk=256)
+    err = float(jnp.mean(jnp.abs(prb["rgb_fine"] - exact["rgb_fine"])))
+    assert err < 3e-2, err
     # checkpoint roundtrip
     trainer.save_ckpt("final")
     p0 = jax.tree_util.tree_leaves(trainer.params)[0].copy()
