@@ -52,7 +52,12 @@ def train(config: Config, smpl_data=None, mesh=None):
         if clock.minibatch >= epoch_len:
             clock.tock()
 
-    trainer.visualize_batch()
+    if val_every:
+        # the reference ends with the final checkpoint only (train.py:42-43);
+        # a closing visualize_batch is our addition — skip it when validation
+        # is disabled (quiet/headless runs), since end-of-run renders cost
+        # minutes of fresh compiles on the tunneled TPU backend
+        trainer.visualize_batch()
     trainer.save_ckpt("final")
     return trainer
 
