@@ -73,10 +73,20 @@ class RenderConfig:
     chain_global: bool = False
     test_time: bool = False
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    mlp_impl: str = "xla"  # 'xla' | 'pallas' | 'fused'
-    # 'fused' = whole-ray VMEM megakernels (ops/megakernel.py): PE + MLP +
-    # heads in one Pallas kernel with a Pallas backward; the fastest path on
-    # real TPUs (the XLA trunk is HBM-bound, see PERF.md)
+    mlp_impl: str = "xla"  # 'xla' | 'pallas' | 'fused' | 'fused_nof' |
+    # 'fused_nerf'. 'fused' = whole-ray VMEM megakernels (ops/megakernel.py):
+    # PE + MLP + heads in one Pallas kernel with a Pallas backward; the
+    # fastest path on real TPUs (the XLA trunk is HBM-bound, see PERF.md).
+    # The hybrids run only the NoF warps (resp. only the NeRF evals) through
+    # the fused kernels, the rest through XLA — measurement knobs.
+
+    @property
+    def nof_fused(self) -> bool:
+        return self.mlp_impl in ("fused", "fused_nof")
+
+    @property
+    def nerf_fused(self) -> bool:
+        return self.mlp_impl in ("fused", "fused_nerf")
     remat: bool = False  # checkpoint each MLP eval: don't store trunk
     # activations for backward (recompute instead) — cuts backward HBM
     # residency ~8x, enabling much larger per-chip ray batches
@@ -164,7 +174,7 @@ def nof_warp(params: dict, statics: ModelStatics, anneal: dict,
     """
     cfg = statics.nof
     n, s = xyz.shape[0], xyz.shape[1]
-    if rcfg.mlp_impl == "fused":
+    if rcfg.nof_fused:
         from ..ops.megakernel import nof_fused_rays
         ind_emb = embed_padded(ind, statics.nof_ind, cfg.extra_feat_dim)
         return nof_fused_rays(params, cfg, statics.nof_xyz.n_freqs,
@@ -249,7 +259,7 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
     if rcfg.noise_std > 0 and not rcfg.test_time:
         noise = jax.random.normal(key, (n, s)) * rcfg.noise_std
 
-    if rcfg.mlp_impl == "fused":
+    if rcfg.nerf_fused:
         from ..ops.megakernel import nerf_fused_rays
         if weights_only or nerf_cfg.extra_feat_type == "none":
             extra = None
@@ -459,7 +469,7 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         """bw warp (+ local/global chains) for one sample set
         (ref models/rendering.py:270-282,335-344)."""
         out = {}
-        if (rcfg.mlp_impl == "fused" and not rcfg.test_time
+        if (rcfg.nof_fused and not rcfg.test_time
                 and (rcfg.chain_local or rcfg.chain_global)):
             # whole chain (up to 5 NoF evals) in ONE kernel: intermediates
             # stay in VMEM instead of 4 lane-padded HBM round trips
