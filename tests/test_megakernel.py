@@ -424,6 +424,48 @@ def test_render_rays_fused_chain_grads():
                                        err_msg=str(kw))
 
 
+def test_render_rays_hybrid_impls():
+    """fused_nof / fused_nerf (per-family kernel routing) match the XLA
+    renderer in the train configuration."""
+    import dataclasses as dc
+    from moco_flow_tpu.render.volume import (ModelStatics, RenderConfig,
+                                             render_rays)
+    ncfg = NeRFConfig(depth=4, width=64, in_channels_xyz=27, skips=(2,),
+                      extra_feat_type="ind", extra_feat_dim=5)
+    fcfg = NoFConfig(depth=4, width=32, in_channels_xyz=21, skips=(2,),
+                     extra_feat_dim=21, use_quat=True)
+    statics = ModelStatics(
+        coarse=ncfg, fine=ncfg, nof=fcfg,
+        nerf_xyz=EmbeddingSpec(4), nerf_ind=EmbeddingSpec(2, in_channels=1),
+        nof_xyz=EmbeddingSpec(3), nof_ind=EmbeddingSpec(3, in_channels=1))
+    keys = jax.random.split(jax.random.key(0), 4)
+    params = {
+        "coarse_NeRF": init_nerf(keys[0], ncfg),
+        "fine_NeRF": init_nerf(keys[1], ncfg),
+        "bw_NoF": init_nof(keys[2], fcfg),
+        "fw_NoF": init_nof(keys[3], fcfg),
+    }
+    n = 8
+    rng = np.random.default_rng(5)
+    o = np.tile([0.0, 0.0, 3.0], (n, 1))
+    d = rng.normal(size=(n, 3))
+    d = -np.abs(d) / np.linalg.norm(d, -1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 2.0), np.full((n, 1), 4.0),
+         np.full((n, 1), 0.25), np.full((n, 1), -0.5)], -1), jnp.float32)
+    bg = jnp.ones((n, 3))
+    base = RenderConfig(n_samples=16, n_importance=16, perturb=0.0,
+                        use_nof=True, chain_local=True, chain_global=True)
+    out_x = render_rays(params, statics, {}, rays, bg, jax.random.key(1),
+                        base)
+    for impl in ["fused_nof", "fused_nerf"]:
+        out_h = render_rays(params, statics, {}, rays, bg, jax.random.key(1),
+                            dc.replace(base, mlp_impl=impl))
+        for k in out_x:
+            np.testing.assert_allclose(out_h[k], out_x[k], rtol=5e-4,
+                                       atol=5e-4, err_msg=f"{impl}:{k}")
+
+
 def test_render_rays_fused_stage1_and_testtime():
     """Stage-1 shape (dir-conditioned rgb, no NoF) and the test-time
     sigma-only coarse pass through the fused path."""
