@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import numpy as np
 
@@ -172,13 +173,18 @@ def _dot_pe_x(w, dz, dtype):
 
 
 
-def _cast_matrices(ws: list, compute_dtype) -> list:
-    """Cast true weight matrices (shape[0] > 1) to the compute dtype outside
-    the kernel; biases and the (1, W) sigma row stay fp32 (they are applied
-    in fp32 on the VPU)."""
-    if compute_dtype is None:
-        return ws
-    return [w.astype(compute_dtype) if w.shape[0] > 1 else w for w in ws]
+def _cast_matrices(ws, dtype_name: str):
+    """Cast true weight matrices (shape[0] > 1) to the compute dtype just
+    before a pallas_call; biases and the (1, W) sigma row stay fp32 (they
+    are applied in fp32 on the VPU).
+
+    Called INSIDE the custom_vjp boundary (both forward and backward
+    wrappers), NOT before it: primals then stay fp32, so the fp32 weight
+    gradients accumulated in-kernel are NOT quantized to bf16 at the vjp
+    boundary — matching the XLA path's gradient precision."""
+    if dtype_name != "bfloat16":
+        return list(ws)
+    return [w.astype(jnp.bfloat16) if w.shape[0] > 1 else w for w in ws]
 
 
 # ===========================================================================
@@ -365,6 +371,7 @@ def _nerf_fwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
 
 def _nerf_forward(spec: _NerfSpec, xyz, p_e, ws):
     n, s = xyz.shape[0], xyz.shape[1]
+    ws = _cast_matrices(ws, spec.dtype_name)
     call, n_pad = _nerf_fwd_call(spec, n, s, len(ws),
                                  tuple(w.shape for w in ws), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
@@ -562,20 +569,23 @@ def _nerf_op_fwd(spec, xyz, p_e, *ws):
 def _nerf_op_bwd(spec, res, g):
     xyz, p_e, ws = res
     n, s = xyz.shape[0], xyz.shape[1]
-    call, n_pad = _nerf_bwd_call(spec, n, s, len(ws),
-                                 tuple(w.shape for w in ws), _interpret())
+    ws_k = _cast_matrices(ws, spec.dtype_name)  # kernel operands only
+    call, n_pad = _nerf_bwd_call(spec, n, s, len(ws_k),
+                                 tuple(w.shape for w in ws_k), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
     xyz_p = _pad_rays(xyz, n_pad)
     args = [xyz_p]
     if spec.has_extra:
         args.append(_pad_rays(p_e, n_pad))
-    outs = call(*args, b_mat, *ws, _pad_rays(g, n_pad))
+    outs = call(*args, b_mat, *ws_k, _pad_rays(g, n_pad))
     dx = outs[0][:n]
     o = 1
     dp_e = None
     if spec.has_extra:
         dp_e = outs[1][:n]
         o = 2
+    # cotangent dtypes follow the ORIGINAL (fp32) primals — the fp32 dW
+    # accumulated in-kernel is never quantized to bf16
     dws = tuple(d.astype(w.dtype) for d, w in zip(outs[o:], ws))
     return (dx, dp_e, *dws)
 
@@ -601,7 +611,6 @@ def nerf_fused_rays(params: dict, cfg: NeRFConfig, n_freqs: int,
                  and cfg.extra_feat_type != "none")
     ws, p_extra = _nerf_fold(params, cfg, n_freqs, anneal,
                              extra_emb if has_extra else None, sigma_only)
-    ws = _cast_matrices(ws, compute_dtype)
     spec = _NerfSpec(
         depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
         skips=tuple(cfg.skips), sigma_only=sigma_only, has_extra=has_extra,
@@ -844,12 +853,13 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
         dh = _dot_nt(dout9, whead, dt).astype(jnp.float32)
 
     dlayers = [None] * spec.depth
-    dpartials = [None, None]
+    # count pe layers first: one partial slot per PE-consuming layer
     dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
     dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
-    # count pe layers in forward order for partial indexing
+    # pe layers in forward order, one per-ray partial slot each
     pe_order = [i for i in range(spec.depth)
                 if i == 0 or i in spec.skips]
+    dpartials = [None] * len(pe_order)
     for i in range(spec.depth - 1, -1, -1):
         kind, entry = layers[i]
         h_in = acts[i - 1] if i > 0 else None
@@ -964,6 +974,7 @@ def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _nof_op(spec: _NofSpec, n_part: int, xyz, *arrs):
     partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
+    ws = _cast_matrices(ws, spec.dtype_name)
     n, s = xyz.shape[0], xyz.shape[1]
     call, n_pad = _nof_fwd_call(spec, n, s, len(ws), n_part,
                                 tuple(w.shape for w in ws), _interpret())
@@ -980,12 +991,13 @@ def _nof_op_fwd(spec, n_part, xyz, *arrs):
 def _nof_op_bwd(spec, n_part, res, g):
     xyz, arrs = res
     partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
+    ws_k = _cast_matrices(ws, spec.dtype_name)  # kernel operands only
     n, s = xyz.shape[0], xyz.shape[1]
-    call, n_pad = _nof_bwd_call(spec, n, s, len(ws), n_part,
-                                tuple(w.shape for w in ws), _interpret())
+    call, n_pad = _nof_bwd_call(spec, n, s, len(ws_k), n_part,
+                                tuple(w.shape for w in ws_k), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
     args = [_pad_rays(xyz, n_pad)] + [_pad_rays(p, n_pad) for p in partials]
-    outs = call(*args, b_mat, *ws, _pad_rays(g, n_pad))
+    outs = call(*args, b_mat, *ws_k, _pad_rays(g, n_pad))
     dx = outs[0][:n]
     dparts = tuple(outs[1 + i][:n] for i in range(n_part))
     dws = tuple(d.astype(w.dtype)
@@ -1215,13 +1227,14 @@ def _chain_op(spec: _ChainSpec, n_pe: int, n_sets: int, xyz, *arrs):
     n, s = xyz.shape[0], xyz.shape[1]
     n_parts = n_sets * n_pe
     n_ws = (len(arrs) - n_parts) // 2
-    ws_shapes = tuple(a.shape for a in arrs[n_parts:n_parts + n_ws])
+    ws_cast = _cast_matrices(arrs[n_parts:], spec.nof.dtype_name)
+    ws_shapes = tuple(a.shape for a in ws_cast[:n_ws])
     call, n_pad = _chain_fwd_call(spec, n, s, n_ws, n_pe, n_sets, ws_shapes,
                                   _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
     args = ([_pad_rays(xyz, n_pad)]
             + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
-            + [b_mat] + list(arrs[n_parts:]))
+            + [b_mat] + ws_cast)
     outs = call(*args)
     return tuple(o[:n] for o in outs)
 
@@ -1235,13 +1248,15 @@ def _chain_op_bwd(spec, n_pe, n_sets, res, gs):
     n, s = xyz.shape[0], xyz.shape[1]
     n_parts = n_sets * n_pe
     n_ws = (len(arrs) - n_parts) // 2
-    ws_shapes = tuple(a.shape for a in arrs[n_parts:n_parts + n_ws])
+    ws_cast = _cast_matrices(arrs[n_parts:], spec.nof.dtype_name)
+    ws_shapes = tuple(a.shape for a in ws_cast[:n_ws])
     call, n_pad = _chain_bwd_call(spec, n, s, n_ws, n_pe, n_sets, ws_shapes,
                                   _interpret())
+    # cotangent dtypes follow the ORIGINAL primals (arrs), not ws_cast
     b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
     args = ([_pad_rays(xyz, n_pad)]
             + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
-            + [b_mat] + list(arrs[n_parts:])
+            + [b_mat] + ws_cast
             + [_pad_rays(g, n_pad) for g in gs])
     outs = call(*args)
     dx = outs[0][:n]
@@ -1289,8 +1304,6 @@ def nof_chain_rays(params: dict, cfg: NoFConfig, n_freqs: int,
         sets += [p_fw_ch, p_bw_ch]
     n_pe = len(p_bw_ind)
     parts = [p[:, None, :] for st in sets for p in st]
-    ws_bw = _cast_matrices(ws_bw, compute_dtype)
-    ws_fw = _cast_matrices(ws_fw, compute_dtype)
     outs = _chain_op(spec, n_pe, len(sets), xyz, *parts, *ws_bw, *ws_fw)
     cano = outs[0]
     recon = outs[1] if chain_local else None
@@ -1316,7 +1329,10 @@ class _PassSpec:
 def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
                n_nerf_ws: int, shapes: tuple, interpret: bool):
     nerf_b = _freq_matrix(spec.nerf.kc // 3, spec.nerf.logscale)
-    r = _pick_r(n, s, _PASS_ROWS, align=8)
+    # the 2-D z block (r, s) needs r % 8 == 0, and the (1, r*s) sigma out
+    # block needs r*s % 128 == 0 — unless a single block covers everything
+    lane_align = 128 // math.gcd(s, 128)
+    r = _pick_r(n, s, _PASS_ROWS, align=8 * lane_align // math.gcd(8, lane_align))
     grid = pl.cdiv(n, r)
     has_nof = spec.nof is not None
     nof_b = (_freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
@@ -1420,8 +1436,8 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
                                   anneal_nerf,
                                   extra_emb if has_extra else None,
                                   sigma_only)
-    nerf_ws = _cast_matrices(nerf_ws, compute_dtype)
     dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    nerf_ws = _cast_matrices(nerf_ws, dtype_name)
     nerf_spec = _NerfSpec(
         depth=nerf_cfg.depth, width=nerf_cfg.width, kc=3 * nerf_freqs,
         skips=tuple(nerf_cfg.skips), sigma_only=sigma_only,
@@ -1431,7 +1447,7 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
     if use_nof:
         nof_ws, partials = _nof_fold(params["bw_NoF"], nof_cfg, nof_freqs,
                                      anneal_nof, ind_emb)
-        nof_ws = _cast_matrices(nof_ws, compute_dtype)
+        nof_ws = _cast_matrices(nof_ws, dtype_name)
         nof_spec = _NofSpec(
             depth=nof_cfg.depth, width=nof_cfg.width, kc=3 * nof_freqs,
             skips=tuple(nof_cfg.skips), use_quat=nof_cfg.use_quat,
@@ -1488,7 +1504,6 @@ def nof_fused_rays(params: dict, cfg: NoFConfig, n_freqs: int, logscale: bool,
                              ind_c, compute_dtype)
         return out.reshape(1, -1, 3)[:, :s]
     ws, partials = _nof_fold(params, cfg, n_freqs, anneal, ind_emb)
-    ws = _cast_matrices(ws, compute_dtype)
     spec = _NofSpec(
         depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
         skips=tuple(cfg.skips), use_quat=cfg.use_quat,

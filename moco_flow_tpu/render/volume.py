@@ -240,6 +240,21 @@ def composite(sigmas: jnp.ndarray, z_vals: jnp.ndarray, dir_norm: jnp.ndarray,
     return alphas, weights
 
 
+def _composite_tail(rgbs, sigmas, z_vals, dir_norm, noise,
+                    rcfg: RenderConfig, background, deltas=None):
+    """Shared per-pass epilogue: quadrature + weighted rgb/depth +
+    background blend (ref models/rendering.py:176-191). One definition for
+    the XLA, fused and test-time paths so they cannot diverge."""
+    alphas, weights = composite(sigmas, z_vals, dir_norm, noise,
+                                rcfg.activation, deltas=deltas)
+    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    if background is not None:
+        rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1,
+                                                keepdims=True))
+    return rgb, depth, weights, alphas
+
+
 def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
                    anneal: dict, xyz: jnp.ndarray, ind: jnp.ndarray,
                    direction: jnp.ndarray, z_vals: jnp.ndarray,
@@ -277,15 +292,8 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
             alphas, weights = composite(out[..., 0], z_vals, dir_norm, noise,
                                         rcfg.activation)
             return None, None, weights, alphas
-        rgbs, sigmas = out[..., :3], out[..., 3]
-        alphas, weights = composite(sigmas, z_vals, dir_norm, noise,
-                                    rcfg.activation)
-        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
-        depth = jnp.sum(weights * z_vals, axis=-1)
-        if background is not None:
-            rgb = rgb + background * (
-                1.0 - jnp.sum(weights, axis=-1, keepdims=True))
-        return rgb, depth, weights, alphas
+        return _composite_tail(out[..., :3], out[..., 3], z_vals, dir_norm,
+                               noise, rcfg, background)
 
     flat = xyz.reshape(-1, 3)
     x_emb = embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
@@ -316,13 +324,8 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
             fn = jax.checkpoint(fn)
         out = fn(params, x_emb, extra)
     out = out.reshape(n, s, 4)
-    rgbs, sigmas = out[..., :3], out[..., 3]
-    alphas, weights = composite(sigmas, z_vals, dir_norm, noise, rcfg.activation)
-    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
-    depth = jnp.sum(weights * z_vals, axis=-1)
-    if background is not None:
-        rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
-    return rgb, depth, weights, alphas
+    return _composite_tail(out[..., :3], out[..., 3], z_vals, dir_norm,
+                           noise, rcfg, background)
 
 
 # ---------------------------------------------------------------------------
@@ -361,16 +364,12 @@ def _fused_test_pass(params: dict, nerf_key: str, statics: ModelStatics,
         rays_o, rays_d, z_vals, extra, ind_emb,
         use_nof=use_nof, sigma_only=weights_only,
         compute_dtype=rcfg.dtype)
-    alphas, weights = composite(sigmas, z_vals, dir_norm, None,
-                                rcfg.activation, deltas=deltas)
     if weights_only:
+        alphas, weights = composite(sigmas, z_vals, dir_norm, None,
+                                    rcfg.activation, deltas=deltas)
         return None, None, weights, alphas
-    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
-    depth = jnp.sum(weights * z_vals, axis=-1)
-    if background is not None:
-        rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1,
-                                                keepdims=True))
-    return rgb, depth, weights, alphas
+    return _composite_tail(rgbs, sigmas, z_vals, dir_norm, None, rcfg,
+                           background, deltas=deltas)
 
 
 def _consensus(disp_src: jnp.ndarray, disp_rec: jnp.ndarray,
@@ -436,6 +435,11 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         # full stratified + importance sample set
         probe = (rcfg.coarse_probe
                  if coarse_weights_only and rcfg.coarse_probe else 0)
+        if probe and (probe > rcfg.n_samples
+                      or rcfg.n_samples % probe != 0):
+            raise ValueError(
+                f"coarse_probe={probe} must divide n_samples="
+                f"{rcfg.n_samples} (and be <= it)")
         z_c = z_vals[:, ::rcfg.n_samples // probe] if probe else z_vals
         rgb_c, depth_c, weights_c, _ = _fused_test_pass(
             params, "coarse_NeRF", statics, anneal, rays_o, rays_d, img_ind,

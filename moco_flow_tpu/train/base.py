@@ -278,7 +278,11 @@ class BaseTrainer:
         from ..nn import lpips as lpips_mod
         from ..nn.metrics import dssim, psnr, ssim
         ds = self.val_dataset
-        rcfg = getattr(self, "rcfg_val", None) or self.rcfg_train
+        # evaluate with the TEST-time render config (deterministic sampling,
+        # and the only config where the fine_budget / coarse_probe knobs are
+        # live — rcfg_val would silently ignore them)
+        rcfg = (getattr(self, "rcfg_test", None)
+                or getattr(self, "rcfg_val", None) or self.rcfg_train)
         n = ds.num_frames if max_frames is None else min(max_frames,
                                                          ds.num_frames)
         lp_weights = None

@@ -255,6 +255,39 @@ def test_nof_grads_multiblock(nof_setup):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+def test_bf16_grads_stay_fp32(nerf_setup):
+    """bf16 compute: weight gradients must come back fp32 (the cast to the
+    compute dtype happens INSIDE the custom_vjp boundary, so the in-kernel
+    fp32 dW accumulators are not quantized to bf16), and match the XLA bf16
+    path within bf16 noise."""
+    params, xyz, extra = nerf_setup
+
+    def loss_fused(p):
+        return jnp.sum(mk.nerf_fused_rays(p, NERF_CFG, NERF_FREQS, True,
+                                          None, xyz, extra, False,
+                                          jnp.bfloat16) ** 2)
+
+    def loss_ref(p):
+        n, s = xyz.shape[0], xyz.shape[1]
+        x_emb = embed_padded(xyz.reshape(-1, 3), EmbeddingSpec(NERF_FREQS),
+                             NERF_CFG.in_channels_xyz, None)
+        e = jnp.broadcast_to(extra[:, None, :],
+                             (n, s, extra.shape[-1])).reshape(n * s, -1)
+        return jnp.sum(nerf_apply(p, x_emb, e, NERF_CFG,
+                                  jnp.bfloat16) ** 2)
+
+    gf = jax.grad(loss_fused)(params)
+    gr = jax.grad(loss_ref)(params)
+    for leaf in jax.tree_util.tree_leaves(gf):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    # bf16 forward noise compounds through the squared loss: loose check
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        denom = np.maximum(np.abs(np.asarray(b)), 1.0)
+        rel = np.abs(np.asarray(a) - np.asarray(b)) / denom
+        assert float(np.median(rel)) < 5e-2, float(np.median(rel))
+
+
 def test_nof_single_ray_rechunk(nof_setup):
     """The nof_points path: one 'ray' with many samples re-chunks through
     the kernel and matches the direct evaluation."""
