@@ -68,18 +68,19 @@ def bench_train(trainer, steps: int) -> float:
     return n_rand * trainer.world_size * steps / dt
 
 
-def bench_render(trainer, steps: int) -> float:
+def bench_render(trainer, steps: int, rcfg=None) -> float:
     import jax
     import jax.numpy as jnp
+    rcfg = rcfg if rcfg is not None else trainer.rcfg_test
     ds = trainer.val_dataset
     rays, _ = ds.frame_rays(0)
     bg = jnp.ones((rays.shape[0], 3))
-    out = trainer.render_rays_chunked(rays, bg, trainer.rcfg_test,
+    out = trainer.render_rays_chunked(rays, bg, rcfg,
                                       anneal=trainer.anneal(), chunk=16384)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = trainer.render_rays_chunked(rays, bg, trainer.rcfg_test,
+        out = trainer.render_rays_chunked(rays, bg, rcfg,
                                           anneal=trainer.anneal(), chunk=16384)
         jax.block_until_ready(out)
     dt = time.perf_counter() - t0
@@ -120,10 +121,19 @@ def main():
                                 args.impl, mesh=None, n_rand=args.n_rand,
                                 fine_budget=args.fine_budget,
                                 coarse_probe=args.coarse_probe)
-        render_value = None
+        render_value = render_exact = None
         if args.mode in ("render", "both"):
             render_value = bench_render(
                 trainer, max(args.steps // 4, 3)) / trainer.world_size
+            if args.fine_budget or args.coarse_probe:
+                # also measure EXACT reference sampling so the headline
+                # skipped-sampling number stays comparable across rounds
+                import dataclasses
+                rcfg_exact = dataclasses.replace(
+                    trainer.rcfg_test, fine_budget=0, coarse_probe=0)
+                render_exact = bench_render(
+                    trainer, max(args.steps // 4, 3),
+                    rcfg=rcfg_exact) / trainer.world_size
         if args.mode in ("train", "both"):
             value = bench_train(trainer, args.steps) / trainer.world_size
             metric = "train_rays_per_sec_per_chip"
@@ -149,6 +159,8 @@ def main():
         out["render_rays_per_sec_per_chip"] = round(render_value, 1)
         out["render_vs_baseline"] = round(
             render_value / BASELINE_RENDER_RAYS_PER_SEC, 3)
+    if render_exact is not None:
+        out["render_exact_rays_per_sec_per_chip"] = round(render_exact, 1)
     print(json.dumps(out))
 
 

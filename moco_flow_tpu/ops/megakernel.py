@@ -99,7 +99,18 @@ def _pick_r(n: int, s: int, rows: int, align: int = 1) -> int:
         # tile (Mosaic block-shape rule); 3-D (r, s, c) blocks have no
         # constraint on the leading ray dim. A single block (r == n) is
         # always legal (equals the array dim).
-        r = max(align, (r // align) * align)
+        if align > r:
+            # rounding UP to the alignment would silently exceed the VMEM
+            # row budget (align can reach lcm(8, 128/gcd(s,128)) = 128 for
+            # odd sample counts) — reject with the fix spelled out instead
+            # of risking a VMEM OOM at compile time
+            raise ValueError(
+                f"sample count {s} needs ray-block alignment {align}, but "
+                f"the VMEM row budget ({rows} rows) only allows "
+                f"{rows // max(s, 1)} rays per block. Use a sample count "
+                f"whose alignment fits (even counts align to 8; multiples "
+                f"of 128 align to 8) or lower the per-ray sample count.")
+        r = (r // align) * align
     return r
 
 

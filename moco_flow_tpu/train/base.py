@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel import multihost
 from ..parallel.mesh import make_mesh
 from ..render.volume import RenderConfig, render_rays
 from ..utils.clock import TrainClock
@@ -49,9 +50,13 @@ class BaseTrainer:
         self.extra = {}
         self.losses = {}
         self._render_fns = {}
+        # multi-host: side effects (logging/ckpt/vis) are process-0-only,
+        # the analog of the reference's @master_process (base.py:52-57)
+        self.is_main = multihost.is_main()
 
         if self.mode == "train":
-            self.logger = WorkLogger(config.log_dir)
+            if self.is_main:
+                self.logger = WorkLogger(config.log_dir)
             self.record_str(f"world_size={self.world_size} "
                             f"devices={jax.devices()}")
             self.prepare_dataloader(config["dataloader"])
@@ -95,6 +100,17 @@ class BaseTrainer:
         if self.logger is not None:
             self.logger.scalars(mode, values, self.clock.step)
 
+    # -- deterministic host RNG -------------------------------------------
+
+    def val_rng(self) -> np.random.Generator:
+        """Host RNG for validation/vis choices (val frame, novel-view pose),
+        keyed on (config seed, clock step) so val metrics are reproducible
+        run-to-run — everything device-side is already keyed; the reference
+        leaves these on unseeded np.random (trainer_moco_flow.py:415,
+        trainer_nerf.py:173)."""
+        return np.random.default_rng(
+            (int(self.config.seed or 0), int(self.clock.step)))
+
     # -- train/val entry points (ref base.py:231-249) ---------------------
 
     def train_func(self):
@@ -137,6 +153,8 @@ class BaseTrainer:
         return {jax.tree_util.keystr(p): leaf for p, leaf in flat}
 
     def save_ckpt(self, name=None):
+        if not self.is_main:  # process-0-only (ref base.py:279 @master_process)
+            return
         tree = {"params": self.params}
         if self.opt_state is not None:
             tree["opt_named"] = {
@@ -233,10 +251,15 @@ class BaseTrainer:
         return self._render_fns[key_]
 
     def render_rays_chunked(self, rays, background, rcfg: RenderConfig,
-                            anneal=None, chunk: int = 16384, key=None) -> dict:
+                            anneal=None, chunk: int | None = None,
+                            key=None) -> dict:
         """Render any number of rays with bounded memory: pad to a chunk
         multiple and ``lax.map`` over fixed-size tiles (the jitted analog of
-        the reference's Python chunk loop, trainer_moco_flow.py:196-224)."""
+        the reference's Python chunk loop, trainer_moco_flow.py:196-224).
+        ``chunk`` defaults to the config's ``model.chunk`` (the reference's
+        render-tile knob; 16384 measured fastest on v5e, PERF.md)."""
+        if chunk is None:
+            chunk = int(self.config["model"].get("chunk", 16384))
         if key is None:
             key = jax.random.key(0)
         n = rays.shape[0]
@@ -312,6 +335,11 @@ class BaseTrainer:
                "frames": len(psnrs)}
         if lpipss:
             out["lpips"] = float(np.mean(lpipss))
+        if rcfg.fine_budget or rcfg.coarse_probe:
+            # approximate-sampling knobs were live for these metrics — say so
+            # in the result instead of leaving it to config archaeology
+            out["eval_fine_budget"] = rcfg.fine_budget
+            out["eval_coarse_probe"] = rcfg.coarse_probe
         return out
 
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,

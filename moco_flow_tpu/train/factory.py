@@ -70,6 +70,23 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         # Pallas would run interpreted.
         import jax
         impl = "xla" if jax.default_backend() == "cpu" else "fused"
+    # Empty-space skipping + coarse probe (render/volume.py,
+    # render/sampling.py) are consumed ONLY by the fused test-time path.
+    # Train/val configs zero them (exact sampling is the training contract);
+    # a test-time config that requests them on a path that would ignore them
+    # raises instead of silently rendering exact (a silently-inert knob
+    # already produced one bogus measurement — PERF.md quality-evidence note).
+    fine_budget = int(model_cfg.get("fine_budget", 0))
+    coarse_probe = int(model_cfg.get("coarse_probe", 0))
+    if not test_time:
+        fine_budget = coarse_probe = 0
+    elif (fine_budget or coarse_probe) and impl != "fused":
+        raise ValueError(
+            f"fine_budget={fine_budget} / coarse_probe={coarse_probe} are "
+            f"only implemented on the fused Pallas test-time path, but "
+            f"mlp_impl resolved to '{impl}' "
+            f"(auto -> xla on the CPU backend). Set them to 0 for an exact "
+            f"render, or run with mlp_impl: fused on a TPU.")
     return RenderConfig(
         n_samples=model_cfg.get("N_samples", 64),
         n_importance=model_cfg.get("N_importance", 0),
@@ -82,8 +99,6 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         compute_dtype=compute_dtype or model_cfg.get("compute_dtype", "float32"),
         mlp_impl=impl,
         remat=bool(model_cfg.get("remat", False)) and not test_time,
-        # test-time empty-space skipping + coarse probe (render/volume.py,
-        # render/sampling.py): only the fused test-time path consumes these
-        fine_budget=int(model_cfg.get("fine_budget", 0)),
-        coarse_probe=int(model_cfg.get("coarse_probe", 0)),
+        fine_budget=fine_budget,
+        coarse_probe=coarse_probe,
     )

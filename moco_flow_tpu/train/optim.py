@@ -10,11 +10,72 @@ functions of the global step with the same milestone scaling.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+class RAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Params
+    nu: optax.Params
+
+
+def scale_by_radam_ref(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                       threshold: float = 5.0,
+                       strict_threshold: bool = False
+                       ) -> optax.GradientTransformation:
+    """Reference-exact RAdam rescaling (utils/optimizers.py:59-93).
+
+    Differs from optax.scale_by_radam in two ways that matter for parity:
+      - eps is added to sqrt(nu) (the RAW second moment) with sqrt(1-b2^t)
+        folded into the step size — the reference formula — instead of to
+        the bias-corrected sqrt(nu_hat);
+      - 1-b2^t is computed via expm1, because at the production b2=0.999
+        the f32 cancellation (1 - 0.995...) perturbs N_sma by ~0.03 right
+        where it crosses the rectification threshold (N_sma(5)=4.98), which
+        flips the branch at step 5 vs the reference's float64 host math.
+
+    ``strict_threshold`` selects Ranger's ``N_sma > 5`` comparison
+    (utils/optimizers.py:381) over RAdam's ``>= 5`` (:74).
+    """
+    ro_inf = 2.0 / (1.0 - b2) - 1.0
+    log_b1, log_b2 = math.log(b1), math.log(b2)
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return RAdamState(jnp.zeros((), jnp.int32),
+                          jax.tree.map(z, params), jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        t = count.astype(jnp.float32)
+        b2t = jnp.exp(t * log_b2)
+        one_minus_b2t = -jnp.expm1(t * log_b2)
+        bc1 = -jnp.expm1(t * log_b1)  # 1 - b1^t
+        ro = ro_inf - 2.0 * t * b2t / one_minus_b2t
+        rect_size = jnp.sqrt(
+            one_minus_b2t * (ro - 4.0) / (ro_inf - 4.0)
+            * (ro - 2.0) / ro * ro_inf / (ro_inf - 2.0)) / bc1
+        degen_size = 1.0 / bc1
+        rectified = (ro > threshold) if strict_threshold else (ro >= threshold)
+
+        def one(m, v):
+            return jnp.where(rectified,
+                             rect_size * m / (jnp.sqrt(v) + eps),
+                             degen_size * m)
+
+        return jax.tree.map(one, mu, nu), RAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 class LookaheadState(NamedTuple):
@@ -144,14 +205,22 @@ def make_optimizer(optimizer_config: dict, scheduler_config: dict | None = None,
         return adamw_warmup(lr, eps=eps, weight_decay=wd,
                             warmup=int(optimizer_config.get("warmup", 0)))
     if kind == "radam":
-        opt = optax.radam(lr, eps=eps)
-        if wd:
-            opt = optax.chain(optax.add_decayed_weights(wd), opt)
-        return opt
+        # decay placement matches the reference RAdam (utils/optimizers.py:
+        # 84-87): p -= wd*lr*p decoupled from the rescaled adam step, i.e.
+        # added to the update AFTER rectified rescaling, not to the gradient
+        return optax.chain(
+            scale_by_radam_ref(eps=eps),
+            *( [optax.add_decayed_weights(wd)] if wd else [] ),
+            optax.scale_by_learning_rate(lr))
     if kind == "ranger":
-        inner = optax.radam(lr, eps=eps)
-        if wd:
-            inner = optax.chain(optax.add_decayed_weights(wd), inner)
+        # reference Ranger hyperparameters (utils/optimizers.py:268): inner
+        # RAdam with betas=(0.95, 0.999), eps=1e-5, strict N_sma threshold 5,
+        # decoupled -wd*lr*p decay; Lookahead k=6, alpha=0.5
+        inner = optax.chain(
+            scale_by_radam_ref(b1=0.95, b2=0.999, eps=1e-5,
+                               strict_threshold=True),
+            *( [optax.add_decayed_weights(wd)] if wd else [] ),
+            optax.scale_by_learning_rate(lr))
         return lookahead(inner)
     raise NotImplementedError(f"optimizer type {kind} not implemented")
 

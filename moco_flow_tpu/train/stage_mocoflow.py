@@ -336,7 +336,7 @@ class MoCoFlowTrainer(BaseTrainer):
 
     def val_step(self):
         ds = self.val_dataset
-        idx = int(np.random.randint(ds.num_frames))
+        idx = int(self.val_rng().integers(ds.num_frames))
         rays, _ = ds.frame_rays(idx)
         rgbs = ds.frame_rgbs(idx)
         if rgbs is None:

@@ -116,7 +116,7 @@ class NeRFTrainer(BaseTrainer):
 
     def val_step(self):
         ds = self.val_dataset
-        idx = int(np.random.randint(ds.num_frames))
+        idx = int(self.val_rng().integers(ds.num_frames))
         rays, _ = ds.frame_rays(idx)
         rgbs = ds.frame_rgbs(idx)
         if rgbs is None:
@@ -144,7 +144,7 @@ class NeRFTrainer(BaseTrainer):
         tcfg = self.config["trainer"]
         n_val = self.clock.step // max(tcfg.get("val_every_n_step", 1), 1)
         if n_val % tcfg.get("vis_img_every_n_val", 1) == 0:
-            idx = int(np.random.randint(self.val_dataset.num_frames))
+            idx = int(self.val_rng().integers(self.val_dataset.num_frames))
             visualize_frame(self, idx, use_nof=False, save_path=save_path)
         if n_val % tcfg.get("vis_mesh_video_every_n_val", 5) == 0:
             visualize_mesh(self, frame_idx=-1, save_path=save_path)

@@ -84,7 +84,8 @@ def visualize_frame(trainer, frame_idx: int, use_nof=True,
         panels.append(np.asarray(gt).reshape(*ds.size, 3))
     panels += [img, depth]
     if vis_novel_view and hasattr(ds, "spherical_poses"):
-        pose = ds.spherical_poses[np.random.randint(len(ds.spherical_poses))]
+        pose = ds.spherical_poses[int(trainer.val_rng().integers(
+            len(ds.spherical_poses)))]
         nimg, ndepth = _render_view(trainer, ds, idx, c2w4=pose,
                                     white_bkgd=True, use_nof=nof)
         panels += [nimg, ndepth]

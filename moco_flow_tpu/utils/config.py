@@ -13,8 +13,100 @@ import os
 import os.path as osp
 import shutil
 import time
+import warnings
 
 import yaml
+
+# ---------------------------------------------------------------------------
+# Schema validation: every key the framework consumes, by section. The
+# reference accepts any YAML silently (utils/parse_config.py); here unknown
+# keys warn so a typo ('N_importence') or a knob this rebuild does not have
+# cannot silently no-op.
+# ---------------------------------------------------------------------------
+
+_EMBEDDING_KEYS = {"type", "in_channels", "N_freqs", "logscale"}
+_NERF_KEYS = {"type", "D", "W", "in_channels_xyz", "skips",
+              "extra_feat_type", "extra_feat_dim"}
+_NOF_KEYS = {"type", "D", "W", "in_channels_xyz", "skips",
+             "extra_feat_type", "extra_feat_dim", "use_quat"}
+_OPT_KEYS = {"type", "lr", "weight_decay", "momentum", "warmup"}
+
+_SCHEMA = {
+    "": {"save_dir", "exp_name", "dataloader", "model", "loss",
+         "optimizer", "scheduler", "trainer"},
+    "dataloader": {"type", "root_dir", "imgs_dir", "size", "val_size",
+                   "aabb", "bkgd", "interval", "cache"},
+    "model": {"type", "pretrained_path", "pretrained_nerf", "pretrained_nof",
+              "coarse_to_fine", "N_rand", "N_sampled", "chunk", "N_samples",
+              "N_importance", "use_disp", "perturb", "noise_std",
+              "nerf_activate_type", "compute_dtype", "mlp_impl", "remat",
+              "fine_budget", "coarse_probe", "hash_grid",
+              "nof_embedding_xyz", "nof_embedding_ind", "nerf_embedding_xyz",
+              "nerf_embedding_dir", "nerf_embedding_ind",
+              "fw_NoF", "bw_NoF", "coarse_NeRF", "fine_NeRF"},
+    "loss": {"type", "weight", "chain_local", "nof_local_weight",
+             "chain_global", "nof_global_weight", "img_loss", "nof_loss",
+             "msk_loss"},
+    "optimizer": _OPT_KEYS | {"moco", "nof"},
+    "scheduler": {"type", "decay_step", "decay_gamma", "lr_decay",
+                  "num_epochs", "poly_exp"},
+    "trainer": {"num_iters", "coarse2fine_start_iter", "coarse2fine_end_iter",
+                "val_every_n_step", "vis_img_every_n_val",
+                "vis_mesh_video_every_n_val", "save_every_n_step",
+                "log_freq"},
+}
+
+# model sub-blocks with their own schemas
+_MODEL_SUBBLOCKS = {
+    "nof_embedding_xyz": _EMBEDDING_KEYS, "nof_embedding_ind": _EMBEDDING_KEYS,
+    "nerf_embedding_xyz": _EMBEDDING_KEYS,
+    "nerf_embedding_dir": _EMBEDDING_KEYS,
+    "nerf_embedding_ind": _EMBEDDING_KEYS,
+    "fw_NoF": _NOF_KEYS, "bw_NoF": _NOF_KEYS,
+    "coarse_NeRF": _NERF_KEYS, "fine_NeRF": _NERF_KEYS,
+}
+_LOSS_SUBBLOCKS = {"img_loss", "nof_loss", "msk_loss"}
+
+
+def validate_config(cfg: dict) -> list:
+    """Return a list of warning strings for unknown / known-ignored keys."""
+    msgs = []
+
+    def check(d, known, section):
+        for k in d or {}:
+            if k not in known:
+                msgs.append(f"unknown config key '{section}{k}' "
+                            f"(known: {', '.join(sorted(known))})")
+
+    check(cfg, _SCHEMA[""], "")
+    for section in ("dataloader", "model", "loss", "scheduler", "trainer"):
+        block = cfg.get(section)
+        if isinstance(block, dict):
+            check(block, _SCHEMA[section], section + ".")
+    model = cfg.get("model") or {}
+    for name, keys in _MODEL_SUBBLOCKS.items():
+        sub = model.get(name)
+        if isinstance(sub, dict):
+            check(sub, keys, f"model.{name}.")
+    loss = cfg.get("loss") or {}
+    for name in _LOSS_SUBBLOCKS:
+        sub = loss.get(name)
+        if isinstance(sub, dict):
+            check(sub, {"type", "weight"}, f"loss.{name}.")
+    opt = cfg.get("optimizer")
+    if isinstance(opt, dict):
+        check(opt, _SCHEMA["optimizer"], "optimizer.")
+        for name in ("moco", "nof"):  # stage-3 dual-optimizer sub-blocks
+            sub = opt.get(name)
+            if isinstance(sub, dict):
+                check(sub, _OPT_KEYS, f"optimizer.{name}.")
+    dl = cfg.get("dataloader") or {}
+    if "cache" in dl:
+        msgs.append(
+            "dataloader.cache is accepted for reference compatibility but "
+            "has no effect: images/tables are always HBM-resident here "
+            "(a strict superset of the reference's RAM cache)")
+    return msgs
 
 
 class Config:
@@ -27,6 +119,8 @@ class Config:
         self.mode = mode
         self.resume = resume
         self.seed = seed
+        for msg in validate_config(cfg):
+            warnings.warn(msg, stacklevel=2)
 
         self.save_dir = cfg.get("save_dir", "./log")
         self.exp_name = cfg.get("exp_name", "exp")

@@ -34,6 +34,35 @@ def load_pickle(path: str):
         return pickle.load(f, encoding="latin1")
 
 
+def convert_snapshot_gt(gt_dir: str, out_pkl: str, start_frame: int,
+                        end_frame: int, interval: int = 1):
+    """People-Snapshot GT (camera.pkl / consensus.pkl /
+    reconstructed_poses.hdf5) -> VIBE-schema pkl + camera intrinsics
+    (ref scripts/preprocess_snapshot_data.py:54-74: per-frame pose/trans from
+    the hdf5, one shared consensus beta vector, sequential frame_ids).
+
+    Returns ``(converted_dict, focal, camera_c)``.
+    """
+    import h5py
+    camera = load_pickle(osp.join(gt_dir, "camera.pkl"))
+    consensus = load_pickle(osp.join(gt_dir, "consensus.pkl"))
+    poses_h5 = h5py.File(osp.join(gt_dir, "reconstructed_poses.hdf5"), "r")
+
+    idx = list(range(start_frame, end_frame, interval))
+    converted = {1: {
+        "frame_ids": np.arange(len(idx)),
+        "betas": np.stack([np.asarray(consensus["betas"]) for _ in idx]),
+        "pose": np.stack([poses_h5["pose"][i] for i in idx]),
+        "transls": np.stack([poses_h5["trans"][i] for i in idx]),
+    }}
+    poses_h5.close()
+    with open(out_pkl, "wb") as f:
+        pickle.dump(converted, f)
+    focal = float(np.asarray(camera["camera_f"])[0])
+    c = np.asarray(camera["camera_c"])
+    return converted, focal, c
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_video", required=True,
@@ -62,26 +91,13 @@ def main():
                       osp.join(out, "background.png"))
 
     gt_dir = args.input_video.replace(".mp4", "")
-    camera = load_pickle(osp.join(gt_dir, "camera.pkl"))
-    consensus = load_pickle(osp.join(gt_dir, "consensus.pkl"))
-    import h5py
-    poses_h5 = h5py.File(osp.join(gt_dir, "reconstructed_poses.hdf5"), "r")
-
-    idx = list(range(args.start_frame, end_frame, args.interval))
-    converted = {1: {
-        "frame_ids": np.arange(len(idx)),
-        "betas": np.stack([np.asarray(consensus["betas"]) for _ in idx]),
-        "pose": np.stack([poses_h5["pose"][i] for i in idx]),
-        "transls": np.stack([poses_h5["trans"][i] for i in idx]),
-    }}
-    with open(osp.join(out, "converted.pkl"), "wb") as f:
-        pickle.dump(converted, f)
+    _, focal, c = convert_snapshot_gt(gt_dir, osp.join(out, "converted.pkl"),
+                                      args.start_frame, end_frame,
+                                      args.interval)
 
     from PIL import Image
     h, w = np.asarray(Image.open(
         osp.join(out, "images_w_bkgd", "0000.png"))).shape[:2]
-    focal = float(np.asarray(camera["camera_f"])[0])
-    c = np.asarray(camera["camera_c"])
     create_moco_flow_data(osp.join(out, "converted.pkl"), (h, w), focal=focal,
                           c=c, gender=args.gender)
     create_init_nerf_data(osp.join(out, "converted.pkl"), (h, w), focal=focal,

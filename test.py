@@ -104,11 +104,16 @@ def main():
     args.add_argument("--fine_budget", default=None, type=int,
                       help="test-time empty-space skipping: fine samples "
                            "kept per ray (multiples of 128 are fastest; "
-                           "0/absent = exact reference sampling)")
+                           "0/absent = exact reference sampling). Only the "
+                           "fused TPU render path implements this — "
+                           "requesting it with mlp_impl xla/pallas (or on "
+                           "a CPU backend, where auto -> xla) is an error, "
+                           "never a silent exact render")
     args.add_argument("--coarse_probe", default=None, type=int,
                       help="test-time coarse subsampling: strided sigma "
                            "probe count (must divide N_samples; 0/absent "
-                           "= exact)")
+                           "= exact). Fused TPU path only, like "
+                           "--fine_budget")
     args.add_argument("--eval_metrics", action="store_true",
                       help="compute mean PSNR/SSIM over the val sequence")
     args.add_argument("--eval_max_frames", default=None, type=int)

@@ -71,6 +71,63 @@ def test_rasterizer_renders_triangle():
     np.testing.assert_allclose(center[:3].sum(), 1.0, atol=0.05)  # barycentric
 
 
+def fake_snapshot_gt(gt_dir, n_frames=5, seed=1):
+    """Fabricated People-Snapshot GT triplet: camera.pkl / consensus.pkl /
+    reconstructed_poses.hdf5 with the real dataset's key schema
+    (ref scripts/preprocess_snapshot_data.py:54-74)."""
+    import h5py
+    rng = np.random.default_rng(seed)
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    with open(gt_dir / "camera.pkl", "wb") as f:
+        pickle.dump({"camera_f": np.array([910.0, 910.0]),
+                     "camera_c": np.array([540.0, 540.0]),
+                     "camera_k": np.zeros(5)}, f)
+    betas = rng.normal(scale=0.03, size=(10,)).astype(np.float64)
+    with open(gt_dir / "consensus.pkl", "wb") as f:
+        pickle.dump({"betas": betas,
+                     "v_personal": np.zeros((6890, 3))}, f)
+    poses = np.zeros((n_frames, 72))
+    poses[:, 3:] = rng.normal(scale=0.1, size=(n_frames, 69))
+    trans = rng.normal(scale=0.05, size=(n_frames, 3)) + [0, 0, 3.0]
+    with h5py.File(gt_dir / "reconstructed_poses.hdf5", "w") as h5:
+        h5.create_dataset("pose", data=poses)
+        h5.create_dataset("trans", data=trans)
+        h5.create_dataset("betas", data=betas)
+    return poses, trans, betas
+
+
+def test_snapshot_gt_converter(tmp_path):
+    """GT triplet -> VIBE-schema pkl -> train.json, with frames subsampled
+    by [start:end:interval] and GT transls passed through untouched."""
+    import pytest
+    pytest.importorskip("h5py")
+    from scripts.preprocess_snapshot_data import convert_snapshot_gt
+
+    poses, trans, betas = fake_snapshot_gt(tmp_path / "gt", n_frames=5)
+    out_pkl = str(tmp_path / "converted.pkl")
+    converted, focal, c = convert_snapshot_gt(
+        str(tmp_path / "gt"), out_pkl, start_frame=1, end_frame=5, interval=2)
+
+    person = converted[1]
+    np.testing.assert_array_equal(person["frame_ids"], [0, 1])
+    np.testing.assert_allclose(person["pose"], poses[[1, 3]])
+    np.testing.assert_allclose(person["transls"], trans[[1, 3]])
+    np.testing.assert_allclose(person["betas"], np.stack([betas, betas]))
+    assert focal == 910.0
+    np.testing.assert_allclose(c, [540.0, 540.0])
+
+    # written pkl is a valid single-person VIBE input for the JSON converter,
+    # and GT transls (no orig_cam key) are used verbatim
+    meta = create_moco_flow_data(out_pkl, (96, 96), focal=focal, c=c,
+                                 gender="m")
+    assert len(meta["frames"]) == 2
+    loaded = json.load(open(tmp_path / "train.json"))
+    np.testing.assert_allclose(loaded["frames"][0]["transl"], trans[1])
+    np.testing.assert_allclose(loaded["frames"][0]["betas"], betas)
+    assert loaded["camera_focal"] == 910.0
+    assert loaded["gender"] == "m"
+
+
 def test_create_init_nerf_data_end_to_end(tmp_path):
     """Full loop: fake VIBE pkl -> init_nerf dataset -> loadable by the
     MoCoFlowDataset and geometrically consistent."""

@@ -38,7 +38,8 @@ def train(config: Config, smpl_data=None, mesh=None):
     while clock.step < num_iters:
         metrics = trainer.train_func()
 
-        if val_every and clock.step % val_every == 0:
+        if val_every and clock.step % val_every == 0 and trainer.is_main:
+            # master-only validation/vis (ref base.py:52-57 @master_process)
             trainer.val_func()
             trainer.visualize_batch()
         if save_every and clock.step % save_every == 0 and clock.step > 0:
@@ -52,7 +53,7 @@ def train(config: Config, smpl_data=None, mesh=None):
         if clock.minibatch >= epoch_len:
             clock.tock()
 
-    if val_every:
+    if val_every and trainer.is_main:
         # the reference ends with the final checkpoint only (train.py:42-43);
         # a closing visualize_batch is our addition — skip it when validation
         # is disabled (quiet/headless runs), since end-of-run renders cost
@@ -73,11 +74,31 @@ def main():
     args.add_argument("-s", "--seed", default=None)
     args.add_argument("--num_devices", default=None, type=int,
                       help="cap the data-parallel mesh size")
+    args.add_argument("--dist", action="store_true",
+                      help="multi-host launch (the analog of the reference's "
+                           "torch.distributed.launch, README.md:127-145): "
+                           "initialize JAX multi-controller mode from "
+                           "--coordinator_address/--num_processes/"
+                           "--process_id or the JAX_* env vars; every host "
+                           "runs this same command and the data mesh spans "
+                           "all hosts' chips")
+    args.add_argument("--coordinator_address", default=None, type=str,
+                      help="host:port of process 0 (multi-host)")
+    args.add_argument("--num_processes", default=None, type=int,
+                      help="total number of launched processes (multi-host)")
+    args.add_argument("--process_id", default=None, type=int,
+                      help="this process's rank (multi-host)")
     args.add_argument("--profile", action="store_true",
                       help="capture a jax.profiler trace into the log dir")
     args.add_argument("--debug_nans", action="store_true",
                       help="enable jax_debug_nans (NaN guard on every op)")
     ns = args.parse_args()
+    if ns.dist or ns.coordinator_address or ns.num_processes is not None:
+        # must run before the first jax.devices() touch so every host sees
+        # the union of all chips
+        from moco_flow_tpu.parallel.multihost import maybe_init_distributed
+        maybe_init_distributed(ns.coordinator_address, ns.num_processes,
+                               ns.process_id)
     config = Config.from_args(ns)
     mesh = make_mesh(ns.num_devices) if ns.num_devices else None
     if ns.debug_nans:
