@@ -33,7 +33,7 @@ BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
 
 
 def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
-                  fine_budget=0, coarse_probe=0):
+                  fine_budget=0, coarse_probe=0, occ_res=0, bkgd=None):
     from __graft_entry__ import _tiny_moco_config
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
@@ -43,11 +43,14 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
     cfg = _tiny_moco_config(root, save_dir)
     cfg["dataloader"]["size"] = [256, 256]
     cfg["dataloader"]["val_size"] = [256, 256]
+    if bkgd is not None:
+        cfg["dataloader"]["bkgd"] = bkgd
     m = cfg["model"]
     m.update({"N_rand": n_rand, "N_samples": 128, "N_importance": 128,
               "N_sampled": 1000, "compute_dtype": dtype, "mlp_impl": impl,
               "perturb": 1.0, "remat": n_rand > 1024,
-              "fine_budget": fine_budget, "coarse_probe": coarse_probe})
+              "fine_budget": fine_budget, "coarse_probe": coarse_probe,
+              "occ_res": occ_res})
     config = Config(cfg, mode="train")
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 
@@ -68,18 +71,29 @@ def bench_train(trainer, steps: int) -> float:
     return n_rand * trainer.world_size * steps / dt
 
 
-def bench_render(trainer, steps: int, rcfg=None) -> float:
+def bench_render(trainer, steps: int, rcfg=None, occupancy=False) -> float:
     import jax
     import jax.numpy as jnp
     rcfg = rcfg if rcfg is not None else trainer.rcfg_test
     ds = trainer.val_dataset
-    rays, _ = ds.frame_rays(0)
+    rays_raw, _ = ds.frame_rays(0)
+    if occupancy:
+        trainer.occupancy_grid(0)  # grid build amortizes over frame views
+
+    def prep():
+        # the per-render host cost of bound tightening IS part of the timed
+        # loop (the grid itself is cached, as in a video render)
+        return (trainer.tighten_rays(rays_raw, 0, size=ds.size)
+                if occupancy else rays_raw)
+
+    rays = prep()
     bg = jnp.ones((rays.shape[0], 3))
     out = trainer.render_rays_chunked(rays, bg, rcfg,
                                       anneal=trainer.anneal(), chunk=16384)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(steps):
+        rays = prep()
         out = trainer.render_rays_chunked(rays, bg, rcfg,
                                           anneal=trainer.anneal(), chunk=16384)
         jax.block_until_ready(out)
@@ -103,6 +117,9 @@ def main():
                          "per ray (0 = exact reference sampling; the "
                          "default 128 halves the fine pass at max rgb error "
                          "~3e-6 on the bench scene — PARITY.md)")
+    ap.add_argument("--occ_res", type=int, default=0,
+                    help="occupancy-grid depth tightening for the render "
+                         "axis (render/occupancy.py; 0 = off)")
     ap.add_argument("--coarse_probe", type=int, default=32,
                     help="test-time coarse subsampling: strided sigma probe "
                          "count (0 = evaluate all coarse samples; the "
@@ -120,11 +137,13 @@ def main():
                                 os.path.join(tmp, "log"), args.dtype,
                                 args.impl, mesh=None, n_rand=args.n_rand,
                                 fine_budget=args.fine_budget,
-                                coarse_probe=args.coarse_probe)
+                                coarse_probe=args.coarse_probe,
+                                occ_res=args.occ_res)
         render_value = render_exact = None
         if args.mode in ("render", "both"):
             render_value = bench_render(
-                trainer, max(args.steps // 4, 3)) / trainer.world_size
+                trainer, max(args.steps // 4, 3),
+                occupancy=args.occ_res > 0) / trainer.world_size
             if args.fine_budget or args.coarse_probe:
                 # also measure EXACT reference sampling so the headline
                 # skipped-sampling number stays comparable across rounds
@@ -151,6 +170,7 @@ def main():
         "config": {"mode": args.mode, "dtype": args.dtype, "impl": args.impl,
                    "fine_budget": args.fine_budget,
                    "coarse_probe": args.coarse_probe,
+                   "occ_res": args.occ_res,
                    "step_shape": "1024 rays x (128+128) samples, chain+nof+msk"
                    if args.mode != "render" else "full-frame test render"},
     }

@@ -50,6 +50,8 @@ class BaseTrainer:
         self.extra = {}
         self.losses = {}
         self._render_fns = {}
+        self._occ_grids = {}  # frame_idx -> OccupancyGrid (test-time cache)
+        self._occ_stats = None
         # multi-host: side effects (logging/ckpt/vis) are process-0-only,
         # the analog of the reference's @master_process (base.py:52-57)
         self.is_main = multihost.is_main()
@@ -118,6 +120,8 @@ class BaseTrainer:
         pulled to the host on log steps — per-step blocking D2H reads would
         serialize the device queue (and ride the TPU tunnel)."""
         metrics = self.train_step()
+        if self._occ_grids:
+            self._occ_grids.clear()  # params moved: cached grids are stale
         if self.clock.step % self.config["trainer"].get("log_freq", 100) == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             self.record_scalars(metrics, "train")
@@ -317,6 +321,7 @@ class BaseTrainer:
             rgbs = ds.frame_rgbs(idx)
             if rgbs is None:
                 continue
+            rays = self.tighten_rays(rays, idx, size=ds.size)
             res = self.render_rays_chunked(rays, ds.bkgd_img, rcfg,
                                            anneal=self.anneal(), chunk=chunk)
             typ = "rgb_fine" if "rgb_fine" in res else "rgb_coarse"
@@ -341,6 +346,41 @@ class BaseTrainer:
             out["eval_fine_budget"] = rcfg.fine_budget
             out["eval_coarse_probe"] = rcfg.coarse_probe
         return out
+
+    # -- occupancy-grid empty-space skipping (render/occupancy.py) ---------
+
+    @property
+    def occ_cfg(self) -> dict:
+        m = self.config["model"]
+        return {"resolution": int(m.get("occ_res", 0)),
+                "threshold": float(m.get("occ_threshold", 5.0)),
+                "supersample": int(m.get("occ_supersample", 2)),
+                "extent": float(m.get("occ_extent", 1.5))}
+
+    def occupancy_grid(self, frame_idx: int):
+        """Cached per-frame observation-space occupancy grid (canonical for
+        frame -1); reused across every view of the frame."""
+        key = int(frame_idx)
+        if key not in self._occ_grids:
+            from ..render.occupancy import build_occupancy_grid
+            c = self.occ_cfg
+            self._occ_grids[key] = build_occupancy_grid(
+                self, frame_idx, resolution=c["resolution"],
+                supersample=c["supersample"], threshold=c["threshold"],
+                extent=c["extent"])
+        return self._occ_grids[key]
+
+    def tighten_rays(self, rays, frame_idx: int, size=None):
+        """Rewrite rays' near/far to the occupied depth interval when the
+        ``occ_res`` knob is on (0 = off, exact bounds)."""
+        if self.occ_cfg["resolution"] <= 0:
+            return rays
+        from ..render.occupancy import tighten_ray_bounds
+        grid = self.occupancy_grid(frame_idx)
+        out, stats = tighten_ray_bounds(grid, np.asarray(rays),
+                                        size or self.val_dataset.size)
+        self._occ_stats = stats
+        return jnp.asarray(out)
 
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
                             anneal=None, chunk: int = 16384) -> dict:

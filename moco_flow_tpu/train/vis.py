@@ -60,6 +60,11 @@ def decode_results(res: dict, img_size):
 def _render_view(trainer, dataset, idx, c2w4=None, white_bkgd=False,
                  use_nof=True):
     rays, mask = dataset.frame_rays(idx, c2w4=c2w4)
+    # occupancy-grid depth tightening (off unless model.occ_res > 0); the
+    # grid is per-frame (canonical when the NoF warp is off) so novel views
+    # of the same frame reuse it
+    rays = trainer.tighten_rays(rays, idx if use_nof else -1,
+                                size=dataset.size)
     bg = jnp.ones_like(dataset.bkgd_img) if white_bkgd else dataset.bkgd_img
     rcfg = trainer.rcfg_test if use_nof and hasattr(trainer, "rcfg_test") \
         else getattr(trainer, "rcfg_test_cano", trainer.rcfg_test)

@@ -276,6 +276,45 @@ def transfer_stage3(ns, ref_trainer):
 # comparison
 # ---------------------------------------------------------------------------
 
+def nof_eval(ns, ref_trainer, jax_trainer, n_frames: int):
+    """Post-training NoF quality on IDENTICAL evaluation points through both
+    trained models: mean bw/fw L1 on the reference dataset's own
+    correspondence sets (fixed seed). This is the apples-to-apples NoF
+    comparison — the per-step nof_bw/fw loss tails are NOT comparable
+    across implementations because the reference's DataLoader visits frames
+    sequentially (frame 0 has near-zero loss) while the rebuild samples
+    frames uniformly."""
+    import torch
+    import jax.numpy as jnp
+    from moco_flow_tpu.train.stage_nof import nof_points
+    res = {"ref_bw": [], "jax_bw": [], "ref_fw": [], "jax_fw": []}
+    jt = jax_trainer
+    anneal = jt.anneal()
+    for f in range(n_frames):
+        torch.manual_seed(123 + f)
+        np.random.seed(123 + f)
+        inside, _ = ref_trainer.train_dataset.get_frame_correspondence(
+            torch.tensor(f), num_sampled=500)
+        q = inside[:, :3].float()
+        c = inside[:, 3:].float()
+        idx = torch.tensor(f)  # RAW frame index: forward_nof normalizes
+        # internally (trainer_moco_flow.py:178)
+        with torch.no_grad():
+            bw = ref_trainer.forward_nof(q, idx, "bw_NoF")
+            fw = ref_trainer.forward_nof(c, idx, "fw_NoF")
+        res["ref_bw"].append(float((bw - c).abs().mean()))
+        res["ref_fw"].append(float((fw - q).abs().mean()))
+        qj, cj = jnp.asarray(q.numpy()), jnp.asarray(c.numpy())
+        ni = jnp.asarray(f * 2.0 / n_frames - 1.0)
+        bwj = nof_points(jt.params["bw_NoF"], jt.statics, anneal, qj, ni,
+                         jt.rcfg_train)
+        fwj = nof_points(jt.params["fw_NoF"], jt.statics, anneal, cj, ni,
+                         jt.rcfg_train)
+        res["jax_bw"].append(float(jnp.mean(jnp.abs(bwj - cj))))
+        res["jax_fw"].append(float(jnp.mean(jnp.abs(fwj - qj))))
+    return {k: float(np.mean(v)) for k, v in res.items()}
+
+
 def psnr(a, b):
     return float(-10 * np.log10(np.mean((a - b) ** 2) + 1e-12))
 
@@ -321,11 +360,15 @@ def compare_stage(stage, ns, root, smpl, save, steps, n_rand):
         "cross_render_psnr": psnr(jax_img, ref_img),
     }
     if stage == 3:
-        # identical loss keys on both sides (trainer_moco_flow.py:330-364)
+        # identical loss keys on both sides (trainer_moco_flow.py:330-364);
+        # NOTE: bw/fw tails are frame-mix-noisy (sequential vs uniform frame
+        # visits) — nof_eval below is the apples-to-apples comparison
         for k in ("nof_bw", "nof_fw", "nof_local", "nof_global",
                   "alphas_mask"):
             report[f"jax_{k}_tail"] = smoothed(jax_losses, k)
             report[f"ref_{k}_tail"] = smoothed(ref_losses, k)
+        report["nof_eval_fixed_points"] = nof_eval(
+            ns, ref_trainer, jax_trainer, N_FRAMES)
     return report
 
 

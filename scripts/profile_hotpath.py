@@ -43,25 +43,54 @@ def trace_once(mode: str, steps: int, dtype: str, impl: str, n_rand: int,
                 bench_render(trainer, steps)
 
 
+def _bucket(name: str) -> str:
+    """Group op names into readable cost buckets."""
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
+        return "pallas kernels"
+    if n.startswith("%fusion") or ".fusion" in n:
+        return "fusions"
+    if "convolution" in n or "dot" in n:
+        return "matmuls"
+    if "copy" in n or "bitcast" in n or "transpose" in n or "reshape" in n:
+        return "layout/copies"
+    if "dynamic" in n or "gather" in n or "scatter" in n or "slice" in n:
+        return "gather/slice"
+    if "sort" in n:
+        return "sort"
+    if "reduce" in n or "cumsum" in n or "cumprod" in n:
+        return "reductions"
+    return "other"
+
+
 def summarize(trace_dir: str, top_k: int = 40) -> None:
+    """Sum ONLY the 'XLA Ops' line (module/step lines double-count; async
+    copy-start spans overlap compute — CLAUDE.md pitfall #6)."""
     from jax.profiler import ProfileData
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane.pb under {trace_dir}"
     pd = ProfileData.from_file(paths[0])
     per_op = collections.Counter()
+    per_bucket = collections.Counter()
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
-                dur = ev.duration_ns
-                name = ev.name
-                per_op[name] += dur
+                per_op[ev.name] += ev.duration_ns
+                per_bucket[_bucket(ev.name)] += ev.duration_ns
     total = sum(per_op.values())
-    print(f"total device time: {total/1e6:.1f} ms over {len(per_op)} op names")
+    print(f"total 'XLA Ops' time: {total/1e6:.1f} ms over "
+          f"{len(per_op)} op names")
+    print("-- buckets --")
+    for name, ns in per_bucket.most_common():
+        print(f"{ns/1e6:9.2f} ms  {100*ns/total:5.1f}%  {name}")
+    print("-- top ops --")
     for name, ns in per_op.most_common(top_k):
-        print(f"{ns/1e6:9.2f} ms  {100*ns/total:5.1f}%  {name[:120]}")
+        print(f"{ns/1e6:9.2f} ms  {100*ns/total:5.1f}%  {name[:140]}")
 
 
 def main():

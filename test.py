@@ -41,6 +41,10 @@ def test(config: Config, args, smpl_data=None):
         config.raw["model"]["fine_budget"] = args.fine_budget
     if getattr(args, 'coarse_probe', None) is not None:
         config.raw["model"]["coarse_probe"] = args.coarse_probe
+    if getattr(args, 'occ_res', None) is not None:
+        # per-frame occupancy grid + depth-bound tightening
+        # (render/occupancy.py; 0 = off)
+        config.raw["model"]["occ_res"] = args.occ_res
     trainer.build_model(config["model"])
 
     if config.resume:
@@ -114,6 +118,14 @@ def main():
                            "probe count (must divide N_samples; 0/absent "
                            "= exact). Fused TPU path only, like "
                            "--fine_budget")
+    args.add_argument("--occ_res", default=None, type=int,
+                      help="occupancy-grid empty-space skipping: cache a "
+                           "per-frame sigma-occupancy grid at this "
+                           "resolution and tighten every ray's near/far to "
+                           "the occupied interval (0/absent = exact "
+                           "bounds). Composes with --fine_budget/"
+                           "--coarse_probe; works on every render path "
+                           "(XLA and fused)")
     args.add_argument("--eval_metrics", action="store_true",
                       help="compute mean PSNR/SSIM over the val sequence")
     args.add_argument("--eval_max_frames", default=None, type=int)

@@ -1,0 +1,133 @@
+"""Occupancy-grid empty-space skipping (render/occupancy.py).
+
+Geometric conservativeness of the bound tightening, plus end-to-end
+plumbing: with every cell occupied the tightened rays are bit-identical to
+the originals (so the render is exactly the reference render), and with an
+empty grid the bounds are left untouched."""
+
+import numpy as np
+import pytest
+
+from moco_flow_tpu.render.occupancy import (OccupancyGrid,
+                                            tighten_ray_bounds)
+
+
+def _camera_rays(h, w, focal, origin_z=3.0, near=1.0, far=5.0):
+    """Simple pinhole bundle looking down -z from (0,0,origin_z)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dirs = np.stack([(xs - w / 2) / focal, (ys - h / 2) / focal,
+                     -np.ones_like(xs)], axis=-1).reshape(-1, 3)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = np.tile([0.0, 0.0, origin_z], (h * w, 1)).astype(np.float32)
+    rays = np.concatenate(
+        [o, dirs, np.full((h * w, 1), near, np.float32),
+         np.full((h * w, 1), far, np.float32),
+         np.zeros((h * w, 1), np.float32)], axis=-1)
+    return rays
+
+
+def _grid_with_cells(res, extent, cells):
+    occ = np.zeros((res, res, res), bool)
+    for c in cells:
+        occ[c] = True
+    return OccupancyGrid(occ=occ, extent=extent, threshold=5.0)
+
+
+def test_brackets_single_occupied_cell():
+    res, extent = 16, 1.5
+    grid = _grid_with_cells(res, extent, [(8, 8, 8)])  # cell around origin
+    h = w = 24
+    rays = _camera_rays(h, w, focal=40.0)
+    out, stats = tighten_ray_bounds(grid, rays, (h, w))
+    # the central ray passes straight through the occupied cell at t ~= 3
+    center = (h // 2) * w + w // 2
+    assert out[center, 6] > rays[center, 6]  # tightened from 1.0
+    assert out[center, 7] < rays[center, 7]  # tightened from 5.0
+    assert out[center, 6] < 3.0 < out[center, 7]
+    # corner rays miss the cell entirely: original bounds kept
+    assert out[0, 6] == rays[0, 6] and out[0, 7] == rays[0, 7]
+    assert stats["range_ratio"] < 1.0
+
+
+def test_conservative_for_every_ray():
+    """Brute-force check: every occupied t of every full-res ray lies inside
+    its tightened [near, far]."""
+    rng = np.random.default_rng(0)
+    res, extent = 12, 1.5
+    cells = [tuple(rng.integers(2, res - 2, 3)) for _ in range(6)]
+    grid = _grid_with_cells(res, extent, cells)
+    h = w = 20
+    rays = _camera_rays(h, w, focal=30.0)
+    out, _ = tighten_ray_bounds(grid, rays, (h, w))
+
+    from moco_flow_tpu.render.occupancy import _lookup
+    t_dense = np.linspace(1.0, 5.0, 600, dtype=np.float32)
+    for i in range(0, h * w, 7):
+        pts = rays[i, 0:3] + rays[i, 3:6] * t_dense[:, None]
+        hit = _lookup(grid, pts)
+        if not hit.any():
+            continue
+        lo, hi = t_dense[hit].min(), t_dense[hit].max()
+        assert out[i, 6] <= lo + 1e-5, i
+        assert out[i, 7] >= hi - 1e-5, i
+
+
+def test_all_occupied_is_bit_exact_noop():
+    grid = OccupancyGrid(occ=np.ones((8, 8, 8), bool), extent=1.5,
+                         threshold=-1.0)
+    rays = _camera_rays(16, 16, focal=20.0)
+    out, stats = tighten_ray_bounds(grid, rays, (16, 16))
+    np.testing.assert_array_equal(out, rays)
+    assert stats["range_ratio"] == pytest.approx(1.0)
+
+
+def test_empty_grid_keeps_bounds():
+    grid = OccupancyGrid(occ=np.zeros((8, 8, 8), bool), extent=1.5,
+                         threshold=5.0)
+    rays = _camera_rays(16, 16, focal=20.0)
+    out, stats = tighten_ray_bounds(grid, rays, (16, 16))
+    np.testing.assert_array_equal(out, rays)
+    assert stats["empty_frac"] == 1.0
+
+
+def test_trainer_plumbing_and_grid_build(tmp_path):
+    """Full path through a real trainer: grid build from the live sigma
+    field, caching, train-step invalidation, and the exact-render guarantee
+    with threshold -inf (everything occupied)."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "occ_threshold": -1e9})
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl)
+
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays(0)
+    tight = trainer.tighten_rays(rays, 0, size=ds.size)
+    # threshold -inf -> all cells occupied -> bounds unchanged -> renders
+    # are the exact render by construction
+    np.testing.assert_array_equal(np.asarray(tight), np.asarray(rays))
+    grid = trainer.occupancy_grid(0)
+    assert grid.occupancy_fraction == 1.0
+    assert 0 in trainer._occ_grids
+
+    # a real threshold on the untrained field: grid builds and bounds stay
+    # within the originals (conservative clipping)
+    trainer._occ_grids.clear()
+    trainer.config.raw["model"]["occ_threshold"] = 5.0
+    tight2 = np.asarray(trainer.tighten_rays(rays, 0, size=ds.size))
+    assert (tight2[:, 6] >= np.asarray(rays)[:, 6] - 1e-6).all()
+    assert (tight2[:, 7] <= np.asarray(rays)[:, 7] + 1e-6).all()
+
+    # cache invalidation on a train step
+    trainer.train_func()
+    assert not trainer._occ_grids
