@@ -33,13 +33,15 @@ BASELINE_RENDER_RAYS_PER_SEC = 1.0e6    # north-star render target
 
 
 def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
-                  fine_budget=0, coarse_probe=0, occ_res=0, bkgd=None):
+                  fine_budget=0, coarse_probe=0, occ_res=0, bkgd=None,
+                  model_overrides=None, scene_kwargs=None):
     from __graft_entry__ import _tiny_moco_config
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
     from moco_flow_tpu.data.synthetic import make_synthetic_scene
 
-    smpl = make_synthetic_scene(root, n_frames=8, size=256, focal=300.0)
+    smpl = make_synthetic_scene(root, n_frames=8, size=256, focal=300.0,
+                                **(scene_kwargs or {}))
     cfg = _tiny_moco_config(root, save_dir)
     cfg["dataloader"]["size"] = [256, 256]
     cfg["dataloader"]["val_size"] = [256, 256]
@@ -51,6 +53,8 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
               "perturb": 1.0, "remat": n_rand > 1024,
               "fine_budget": fine_budget, "coarse_probe": coarse_probe,
               "occ_res": occ_res})
+    if model_overrides:
+        m.update(model_overrides)
     config = Config(cfg, mode="train")
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 

@@ -36,7 +36,8 @@ class _NumpyEncoder(json.JSONEncoder):
 def make_synthetic_scene(root_dir: str, n_frames: int = 4, size: int = 64,
                          focal: float = 80.0, cam_dist: float = 4.0,
                          seed: int = 0, smpl: SMPLData | None = None,
-                         pose_scale: float = 0.15) -> SMPLData:
+                         pose_scale: float = 0.15,
+                         blob_sigma2: float = 18.0) -> SMPLData:
     """Create ``root_dir`` with train.json / val.json / images/ and return the
     synthetic SMPL body used for it."""
     rng = np.random.default_rng(seed)
@@ -77,7 +78,10 @@ def make_synthetic_scene(root_dir: str, n_frames: int = 4, size: int = 64,
         sel = np.arange(0, len(pts), 4)
         d2 = ((xx[None] - u[sel, None, None]) ** 2
               + (yy[None] - v[sel, None, None]) ** 2)  # (K, H, W)
-        blobs = np.exp(-d2 / 18.0)
+        # blob_sigma2 sets the splat footprint in px^2: the default 3-px
+        # dots are body-like at 64-128px frames but cover <2% of a 256px
+        # frame — too sparse for a NeRF to fit in a short benchmark run
+        blobs = np.exp(-d2 / blob_sigma2)
         colors = 0.25 + 0.75 * (pts[sel] - pts.min(0)) / (
             np.ptp(pts, axis=0) + 1e-6)  # (K, 3)
         img = np.zeros((h, w, 4), np.float32)

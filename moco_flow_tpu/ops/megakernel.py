@@ -824,10 +824,17 @@ def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
     ), grid * r - n
 
 
-def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s):
+def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s,
+                  res=None):
+    """Per-warp VJP tile. ``res`` passes the forward residuals
+    (sin_t, cos_t, acts, out9, qres) when the caller already ran the
+    forward (the chain backward computes every stage's input anyway —
+    recomputing the same forward again inside the VJP was ~25% of the
+    chain backward's FLOPs)."""
     dt = _dtype(spec.dtype_name)
-    _, (sin_t, cos_t, acts, out9, qres) = _nof_tile(x, partials, ws, spec,
-                                                    b_mat)
+    if res is None:
+        _, res = _nof_tile(x, partials, ws, spec, b_mat)
+    sin_t, cos_t, acts, out9, qres = res
     xb = x.astype(dt)
     sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
@@ -1135,20 +1142,24 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
         outs = refs[i + n_out:]
         ws_by = {"bw": ws_bw, "fw": ws_fw}
 
-        # recompute stage inputs once
+        # ONE forward over the chain, keeping every stage's input AND
+        # residuals — the per-warp VJPs below then skip their own forward
+        # recompute entirely (was 5 duplicate _nof_tile evaluations)
         stages = _chain_stages(spec)
-        inputs = []
+        inputs, residuals = [], []
         cano = None
         cur = x
         for si, (net, ps) in enumerate(stages):
             inputs.append(cur)
-            cur, _ = _nof_tile(cur, sets[ps], ws_by[net], spec.nof, b_ref)
+            cur, res_si = _nof_tile(cur, sets[ps], ws_by[net], spec.nof,
+                                    b_ref)
+            residuals.append(res_si)
             if si == 0:
                 cano = cur
             elif spec.chain_local and si == 1:
                 cur = cano
 
-        # reverse chain rule; per-warp VJP recomputes its own activations
+        # reverse chain rule over the stored residuals
         g_cano = gs[0]
         g_recon = gs[1] if spec.chain_local else None
         g_chain = gs[-1] if spec.chain_global else None
@@ -1165,7 +1176,8 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
             net, ps = stages[si]
             dx_, dps_, dws_ = _nof_bwd_tile(inputs[si], sets[ps],
                                             ws_by[net], g, spec.nof,
-                                            b_ref, r, s)
+                                            b_ref, r, s,
+                                            res=residuals[si])
             dws[net] = [a + b for a, b in zip(dws[net], dws_)]
             dsets[ps] = [a + b for a, b in zip(dsets[ps], dps_)]
             return dx_

@@ -88,6 +88,11 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     """Occupancy of sigma(bw_warp(x, frame)) (or canonical sigma for
     frame_idx == -1) over [-extent, extent]^3.
 
+    The threshold applies to the ACTIVATED density the renderer integrates
+    (relu or softplus per the trainer's test render config) — softplus keeps
+    negative raw sigma contributing, so thresholding raw sigma would mark
+    genuinely-emitting regions empty.
+
     ``supersample``: sigma is evaluated on a (resolution*supersample)^3
     lattice and max-pooled, so sub-cell density features set their cell
     occupied (the instant-ngp-style conservative pooling).
@@ -95,10 +100,16 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     from ..train.vis import sigma_grid
 
     n = resolution * supersample
-    sig = sigma_grid(trainer, frame_idx, n_grid=n, extent=extent)
+    sig = sigma_grid(trainer, frame_idx, n_grid=n, extent=extent,
+                     clip_negative=False)
     if supersample > 1:
         sig = sig.reshape(resolution, supersample, resolution, supersample,
                           resolution, supersample).max(axis=(1, 3, 5))
+    rcfg = getattr(trainer, "rcfg_test", None)
+    if rcfg is not None and rcfg.activation == "softplus":
+        sig = np.logaddexp(sig, 0.0)  # softplus, monotone: pool-then-act ok
+    else:
+        sig = np.maximum(sig, 0.0)
     # sigma_grid's lattice is meshgrid(xy-indexed): axis order (y, x, z);
     # transpose to (x, y, z) so index math below reads naturally
     sig = sig.transpose(1, 0, 2)

