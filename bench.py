@@ -75,7 +75,14 @@ def bench_train(trainer, steps: int) -> float:
     return n_rand * trainer.world_size * steps / dt
 
 
-def bench_render(trainer, steps: int, rcfg=None, occupancy=False) -> float:
+def bench_render(trainer, steps: int, rcfg=None, occupancy=False,
+                 ray_skip=False) -> float:
+    """Full-frame render throughput in DELIVERED rays/s (frame pixels /
+    wall time). ``ray_skip`` times the actual test.py frame path when
+    occupancy is on: provably-empty rays are dropped and composited as
+    background (train/base.py::render_masked_image) — the same accounting
+    the reference uses, whose test renderer also only evaluates hull rays
+    (trainer_moco_flow.py:226-268)."""
     import jax
     import jax.numpy as jnp
     rcfg = rcfg if rcfg is not None else trainer.rcfg_test
@@ -84,25 +91,29 @@ def bench_render(trainer, steps: int, rcfg=None, occupancy=False) -> float:
     if occupancy:
         trainer.occupancy_grid(0)  # grid build amortizes over frame views
 
-    def prep():
-        # the per-render host cost of bound tightening IS part of the timed
-        # loop (the grid itself is cached, as in a video render)
-        return (trainer.tighten_rays(rays_raw, 0, size=ds.size)
+    def render_once():
+        # the per-render host cost of bound tightening + masking IS part of
+        # the timed loop (the grid itself is cached, as in a video render)
+        rays = (trainer.tighten_rays(rays_raw, 0, size=ds.size)
                 if occupancy else rays_raw)
+        bg = jnp.ones((rays.shape[0], 3))
+        keep = trainer.occ_keep_mask() if occupancy and ray_skip else None
+        if keep is not None:
+            return trainer.render_masked_image(rays, keep, bg, rcfg,
+                                               anneal=trainer.anneal(),
+                                               chunk=16384)
+        return trainer.render_rays_chunked(rays, bg, rcfg,
+                                           anneal=trainer.anneal(),
+                                           chunk=16384)
 
-    rays = prep()
-    bg = jnp.ones((rays.shape[0], 3))
-    out = trainer.render_rays_chunked(rays, bg, rcfg,
-                                      anneal=trainer.anneal(), chunk=16384)
+    out = render_once()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        rays = prep()
-        out = trainer.render_rays_chunked(rays, bg, rcfg,
-                                          anneal=trainer.anneal(), chunk=16384)
+        out = render_once()
         jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return rays.shape[0] * steps / dt
+    return rays_raw.shape[0] * steps / dt
 
 
 def main():
@@ -147,7 +158,8 @@ def main():
         if args.mode in ("render", "both"):
             render_value = bench_render(
                 trainer, max(args.steps // 4, 3),
-                occupancy=args.occ_res > 0) / trainer.world_size
+                occupancy=args.occ_res > 0,
+                ray_skip=args.occ_res > 0) / trainer.world_size
             if args.fine_budget or args.coarse_probe:
                 # also measure EXACT reference sampling so the headline
                 # skipped-sampling number stays comparable across rounds

@@ -21,6 +21,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from .hashgrid import HashGridConfig, init_hashgrid
 from .mlp import init_linear, linear, linear_relu
 
 
@@ -33,16 +34,34 @@ class NeRFConfig:
     skips: tuple = (4,)
     extra_feat_type: str = "none"  # none | ind | dir  (latent_code: unsupported, as in ref)
     extra_feat_dim: int = 0
+    # xyz encoding: 'pe' = the reference's sinusoidal PE (embedded outside
+    # the net, models/embedding.py); 'hashgrid' = trainable multiresolution
+    # hash encoding (nn/hashgrid.py, the BASELINE.json configs[4] stretch),
+    # whose table lives in the param pytree under 'hash' and whose features
+    # replace the PE tensor — pair it with a tiny trunk (D: 2, W: 64).
+    encoding: str = "pe"
+    hash: HashGridConfig | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "NeRFConfig":
+        encoding = d.get("encoding", "pe")
+        hash_cfg = None
+        in_xyz = d.get("in_channels_xyz", 63)
+        if encoding == "hashgrid":
+            hash_cfg = HashGridConfig.from_dict(d.get("hash"))
+            in_xyz = hash_cfg.out_dim  # MLP input width = L*F features
+        elif encoding != "pe":
+            raise ValueError(f"unknown NeRF encoding '{encoding}' "
+                             f"(expected 'pe' or 'hashgrid')")
         return cls(
             depth=d.get("D", 8),
             width=d.get("W", 256),
-            in_channels_xyz=d.get("in_channels_xyz", 63),
+            in_channels_xyz=in_xyz,
             skips=tuple(d.get("skips", (4,))),
             extra_feat_type=d.get("extra_feat_type", "none"),
             extra_feat_dim=d.get("extra_feat_dim", 0),
+            encoding=encoding,
+            hash=hash_cfg,
         )
 
 
@@ -50,7 +69,7 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
     """Parameter pytree for the NeRF MLP."""
     if cfg.extra_feat_type not in ("none", "ind", "dir"):
         raise ValueError(f"extra_feat_type {cfg.extra_feat_type} not supported")
-    keys = jax.random.split(key, cfg.depth + 4)
+    keys = jax.random.split(key, cfg.depth + 5)
     trunk = []
     for i in range(cfg.depth):
         in_dim = cfg.in_channels_xyz if i == 0 else cfg.width
@@ -58,21 +77,28 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
             in_dim = cfg.width + cfg.in_channels_xyz
         trunk.append(init_linear(keys[i], in_dim, cfg.width))
     extra_in = cfg.width + (cfg.extra_feat_dim if cfg.extra_feat_type != "none" else 0)
-    return {
+    params = {
         "trunk": trunk,
         "sigma": init_linear(keys[cfg.depth], cfg.width, 1),
         "final": init_linear(keys[cfg.depth + 1], cfg.width, cfg.width),
         "extra": init_linear(keys[cfg.depth + 2], extra_in, cfg.width // 2),
         "rgb": init_linear(keys[cfg.depth + 3], cfg.width // 2, 3),
     }
+    if cfg.encoding == "hashgrid":
+        params["hash"] = init_hashgrid(keys[cfg.depth + 4], cfg.hash)
+    return params
 
 
 def sigma_branch_params(params: dict) -> dict:
     """The subtree transferred between stages ('xyz'/'sigma' keys in the
     reference filter, trainer_moco_flow.py:54-57: trunk, sigma head, and
-    xyz_encoding_final — the rgb/extra branch is re-initialized)."""
-    return {"trunk": params["trunk"], "sigma": params["sigma"],
-            "final": params["final"]}
+    xyz_encoding_final — the rgb/extra branch is re-initialized). The hash
+    table (when present) carries the density field and transfers with it."""
+    out = {"trunk": params["trunk"], "sigma": params["sigma"],
+           "final": params["final"]}
+    if "hash" in params:
+        out["hash"] = params["hash"]
+    return out
 
 
 def nerf_trunk(params: dict, x_emb: jnp.ndarray, cfg: NeRFConfig,

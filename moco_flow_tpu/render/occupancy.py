@@ -215,5 +215,13 @@ def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
         "empty_frac": float(empty.mean()),
         "range_ratio": float(np.mean((new_far - new_near)
                                      / (far - near + 1e-12))),
+        # per-ray "provably empty" mask (image-dilated, conservative): every
+        # probe along the ray missed the occupied set, so the ray's
+        # transmittance loss is bounded by the grid threshold — such rays can
+        # skip rendering entirely (rgb = background, opacity = 0). This is
+        # where the big test-time win lives: a person covers ~10-40% of a
+        # frame, so whole-ray skipping multiplies frame throughput by
+        # 1/(1-empty_frac) on top of the depth-bound tightening.
+        "empty_mask": empty,
     }
     return out, stats

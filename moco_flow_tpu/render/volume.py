@@ -105,6 +105,20 @@ class RenderConfig:
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
 
+def encode_nerf_xyz(nerf_params: dict, nerf_cfg: NeRFConfig,
+                    statics: "ModelStatics", flat: jnp.ndarray,
+                    anneal: dict) -> jnp.ndarray:
+    """xyz -> the NeRF's input features: sinusoidal PE (reference path) or
+    the trainable hash encoding (``encoding: hashgrid``, nn/hashgrid.py).
+    The hash table rides in ``nerf_params['hash']`` so its gradient flows
+    through the returned features."""
+    if nerf_cfg.encoding == "hashgrid":
+        from ..nn.hashgrid import hashgrid_encode
+        return hashgrid_encode(nerf_params["hash"], flat, nerf_cfg.hash)
+    return embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
+                        anneal.get("nerf_xyz"))
+
+
 def embed_padded(x: jnp.ndarray, spec: EmbeddingSpec, target_dim: int,
                  weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """posenc + zero-pad to the model's static input width.
@@ -275,6 +289,9 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
         noise = jax.random.normal(key, (n, s)) * rcfg.noise_std
 
     if rcfg.nerf_fused:
+        assert nerf_cfg.encoding == "pe", \
+            "hashgrid encoding has no fused-kernel path (factory.render_config " \
+            "should have rejected mlp_impl=fused)"
         from ..ops.megakernel import nerf_fused_rays
         if weights_only or nerf_cfg.extra_feat_type == "none":
             extra = None
@@ -296,8 +313,7 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
                                noise, rcfg, background)
 
     flat = xyz.reshape(-1, 3)
-    x_emb = embed_padded(flat, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
-                         anneal.get("nerf_xyz"))
+    x_emb = encode_nerf_xyz(params, nerf_cfg, statics, flat, anneal)
 
     if weights_only:
         sigmas = _eval_nerf(params, nerf_cfg, x_emb, None, True, rcfg)

@@ -372,15 +372,27 @@ class BaseTrainer:
 
     def tighten_rays(self, rays, frame_idx: int, size=None):
         """Rewrite rays' near/far to the occupied depth interval when the
-        ``occ_res`` knob is on (0 = off, exact bounds)."""
+        ``occ_res`` knob is on (0 = off, exact bounds). Also stashes the
+        per-ray provably-empty mask (see :meth:`occ_keep_mask`)."""
         if self.occ_cfg["resolution"] <= 0:
             return rays
         from ..render.occupancy import tighten_ray_bounds
         grid = self.occupancy_grid(frame_idx)
         out, stats = tighten_ray_bounds(grid, np.asarray(rays),
                                         size or self.val_dataset.size)
+        self._occ_keep = ~stats.pop("empty_mask")
         self._occ_stats = stats
         return jnp.asarray(out)
+
+    def occ_keep_mask(self):
+        """Bool (n_rays,) mask from the LAST :meth:`tighten_rays` call:
+        True where the ray's occupancy probes hit something. Rays that are
+        False composite to exact background up to the grid-threshold error
+        bound and can skip rendering entirely (render_masked_image). None
+        when occupancy is off."""
+        if self.occ_cfg["resolution"] <= 0:
+            return None
+        return getattr(self, "_occ_keep", None)
 
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
                             anneal=None, chunk: int = 16384) -> dict:

@@ -56,6 +56,11 @@ def init_params(key: jax.Array, model_cfg: dict, statics: ModelStatics,
     return params
 
 
+def _uses_hashgrid(model_cfg: dict) -> bool:
+    return any((model_cfg.get(k) or {}).get("encoding") == "hashgrid"
+               for k in ("coarse_NeRF", "fine_NeRF"))
+
+
 def render_config(model_cfg: dict, use_nof: bool = False,
                   chain_local: bool = False, chain_global: bool = False,
                   test_time: bool = False, perturb=None,
@@ -67,9 +72,16 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         # rendering (the XLA trunk is HBM-bound at 4M-row megabatches) and,
         # since the fused NoF warp-chain kernel, training (22.9k vs 21.6k
         # rays/s XLA, PERF.md). Plain XLA on the CPU test backend, where
-        # Pallas would run interpreted.
+        # Pallas would run interpreted. The hash-grid encoding has no fused
+        # kernel (Mosaic has no vector gather; its tiny MLP is not
+        # trunk-bound anyway) — auto resolves it to XLA everywhere.
         import jax
-        impl = "xla" if jax.default_backend() == "cpu" else "fused"
+        impl = "xla" if (jax.default_backend() == "cpu"
+                         or _uses_hashgrid(model_cfg)) else "fused"
+    elif impl in ("fused", "fused_nerf", "pallas") and _uses_hashgrid(model_cfg):
+        raise ValueError(
+            f"mlp_impl={impl} has no hashgrid-encoding kernel path; use "
+            f"mlp_impl: xla (or auto) with encoding: hashgrid")
     # Empty-space skipping + coarse probe (render/volume.py,
     # render/sampling.py) are consumed ONLY by the fused test-time path.
     # Train/val configs zero them (exact sampling is the training contract);

@@ -40,7 +40,7 @@ from ..nn.losses import image_loss, masked_bce, masked_loss
 from ..nn.metrics import dssim, psnr
 from ..nn.nerf import nerf_sigma
 from ..parallel.mesh import dp_jit, fold_key_if, pmean_if
-from ..render.volume import embed_padded, render_rays
+from ..render.volume import embed_padded, encode_nerf_xyz, render_rays
 from .base import BaseTrainer
 from .checkpoint import (
     load_checkpoint,
@@ -218,16 +218,18 @@ class MoCoFlowTrainer(BaseTrainer):
                 # alpha-mask loss: NoF-warped outside points must be empty in
                 # the canonical field; softplus trick (ref :146-157, :348-363)
                 outside = ~inside
-                x_emb = embed_padded(bw, statics.nerf_xyz,
-                                     statics.coarse.in_channels_xyz,
-                                     anneal.get("nerf_xyz"))
+                x_emb = encode_nerf_xyz(params["coarse_NeRF"], statics.coarse,
+                                        statics, bw, anneal)
                 d_c = 1.0 / rcfg.n_samples
                 sig_c = nerf_sigma(params["coarse_NeRF"], x_emb, statics.coarse)
                 a_c = 1.0 - jnp.exp(-d_c * jax.nn.softplus(sig_c[:, 0]))
                 msk = masked_bce(a_c, outside, 0.0)
                 if "fine_NeRF" in params and rcfg.n_importance > 0:
                     d_f = 1.0 / (rcfg.n_samples + rcfg.n_importance)
-                    sig_f = nerf_sigma(params["fine_NeRF"], x_emb,
+                    x_emb_f = encode_nerf_xyz(params["fine_NeRF"],
+                                              statics.fine, statics, bw,
+                                              anneal)
+                    sig_f = nerf_sigma(params["fine_NeRF"], x_emb_f,
                                        statics.fine)
                     a_f = 1.0 - jnp.exp(-d_f * jax.nn.softplus(sig_f[:, 0]))
                     msk = 0.5 * (msk + masked_bce(a_f, outside, 0.0))

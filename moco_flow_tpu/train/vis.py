@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.nerf import nerf_sigma
-from ..render.volume import RenderConfig, embed_padded
+from ..render.volume import RenderConfig, embed_padded, encode_nerf_xyz
 from .stage_nof import nof_points
 
 
@@ -65,6 +65,11 @@ def _render_view(trainer, dataset, idx, c2w4=None, white_bkgd=False,
     # of the same frame reuse it
     rays = trainer.tighten_rays(rays, idx if use_nof else -1,
                                 size=dataset.size)
+    keep = trainer.occ_keep_mask()
+    if keep is not None:
+        # whole-ray empty-space skipping: drop rays whose occupancy probes
+        # provably hit nothing (they composite to background anyway)
+        mask = (mask & keep) if mask is not None else keep
     bg = jnp.ones_like(dataset.bkgd_img) if white_bkgd else dataset.bkgd_img
     rcfg = trainer.rcfg_test if use_nof and hasattr(trainer, "rcfg_test") \
         else getattr(trainer, "rcfg_test_cano", trainer.rcfg_test)
@@ -218,8 +223,8 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
             if warp:
                 pts = nof_points(params["bw_NoF"], statics, anneal, pts,
                                  norm_idx, RenderConfig(use_nof=True))
-            emb = embed_padded(pts, statics.nerf_xyz, nerf_cfg.in_channels_xyz,
-                               anneal.get("nerf_xyz"))
+            emb = encode_nerf_xyz(params[nerf_name], nerf_cfg, statics, pts,
+                                  anneal)
             return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
         return jax.lax.map(one, tiles)
 

@@ -26,7 +26,7 @@ import yaml
 
 _EMBEDDING_KEYS = {"type", "in_channels", "N_freqs", "logscale"}
 _NERF_KEYS = {"type", "D", "W", "in_channels_xyz", "skips",
-              "extra_feat_type", "extra_feat_dim"}
+              "extra_feat_type", "extra_feat_dim", "encoding", "hash"}
 _NOF_KEYS = {"type", "D", "W", "in_channels_xyz", "skips",
              "extra_feat_type", "extra_feat_dim", "use_quat"}
 _OPT_KEYS = {"type", "lr", "weight_decay", "momentum", "warmup"}

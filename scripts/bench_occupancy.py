@@ -32,25 +32,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None):
+def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None,
+                ray_skip=False):
+    """Time full-frame renders (delivered rays/s). ``ray_skip`` drops the
+    provably-empty rays (occ_keep_mask) via render_masked_image — the
+    actual test.py frame path."""
     import jax
-    rr = rays
 
-    def prep():
-        return (trainer.tighten_rays(rays, tighten_frame,
-                                     size=trainer.val_dataset.size)
-                if tighten_frame is not None else rays)
+    def render_once():
+        rr = (trainer.tighten_rays(rays, tighten_frame,
+                                   size=trainer.val_dataset.size)
+              if tighten_frame is not None else rays)
+        keep = trainer.occ_keep_mask() if ray_skip else None
+        if keep is not None:
+            return trainer.render_masked_image(rr, keep, bg, rcfg,
+                                               anneal=trainer.anneal(),
+                                               chunk=16384)
+        return trainer.render_rays_chunked(rr, bg, rcfg,
+                                           anneal=trainer.anneal(),
+                                           chunk=16384)
 
-    rr = prep()
-    out = trainer.render_rays_chunked(rr, bg, rcfg, anneal=trainer.anneal(),
-                                      chunk=16384)
+    out = render_once()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        rr = prep()
-        out = trainer.render_rays_chunked(rr, bg, rcfg,
-                                          anneal=trainer.anneal(),
-                                          chunk=16384)
+        out = render_once()
         jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
@@ -58,7 +64,7 @@ def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None):
 
 
 def distill_sharp_field(trainer, smpl, steps=400, sigma_in=150.0,
-                        sigma_out=-20.0, shell=0.15, lr=1e-3):
+                        sigma_out=-20.0, shell=0.15, lr=3e-3):
     """Train the trainer's NeRFs by DIRECT field regression: sigma_raw to a
     body-shaped target (inside the SMPL vertex shell -> sigma_in, outside ->
     sigma_out) and rgb to the position colormap.
@@ -80,6 +86,14 @@ def distill_sharp_field(trainer, smpl, steps=400, sigma_in=150.0,
     from moco_flow_tpu.nn.nerf import nerf_apply
     from moco_flow_tpu.ops.knn import nearest_neighbor
     from moco_flow_tpu.render.volume import embed_padded
+
+    # the distillation embeds with FULL PE (weights=None); the stage-3
+    # trainer's clock sits at step 0 where c2f annealing zeroes every PE
+    # frequency, so renders/sigma_grid would evaluate a different function
+    # than the one trained (measured: sigma +150 at the verts under full PE,
+    # -15..-5 everywhere under the step-0 anneal). Disable c2f so
+    # trainer.anneal() matches the distilled embedding.
+    trainer.c2f = False
 
     statics = trainer.statics
     cfg = statics.fine or statics.coarse
@@ -108,11 +122,19 @@ def distill_sharp_field(trainer, smpl, steps=400, sigma_in=150.0,
 
     @jax.jit
     def step(p, s, key):
-        x = jax.random.uniform(key, (8192, 3), minval=-1.5, maxval=1.5)
-        xs = jax.random.normal(jax.random.fold_in(key, 1), (8192, 3)) * 0.3 \
-            + verts[jax.random.randint(jax.random.fold_in(key, 2), (8192,),
-                                       0, verts.shape[0])]
-        x = jnp.concatenate([x, xs], axis=0)
+        # stratified sampling: far field / boundary band / inside the shell.
+        # The inside component is essential — a sigma=0.3 Gaussian around
+        # the vertices puts <2% of points within a 0.15 shell, which starves
+        # the sigma_in target and the whole field converges to sigma_out
+        # (measured: cano sigma max -5.7 after 150 steps with the old mix).
+        x = jax.random.uniform(key, (5462, 3), minval=-1.5, maxval=1.5)
+        pick = lambda k, n: verts[jax.random.randint(k, (n,), 0,
+                                                     verts.shape[0])]
+        xb = jax.random.normal(jax.random.fold_in(key, 1), (5462, 3)) * 0.3 \
+            + pick(jax.random.fold_in(key, 2), 5462)
+        xi = jax.random.normal(jax.random.fold_in(key, 3), (5460, 3)) \
+            * (shell / 3.0) + pick(jax.random.fold_in(key, 4), 5460)
+        x = jnp.concatenate([x, xb, xi], axis=0)
         l, g = jax.value_and_grad(loss_fn)(p, x)
         upd, s = opt.update(g, s, p)
         return optax.apply_updates(p, upd), s, l
@@ -176,10 +198,22 @@ def main():
         grid = trainer.occupancy_grid(0)  # build outside the timed loop
         r_occ, img_occ = time_render(trainer, rays, bg, rcfg_b, args.steps,
                                      tighten_frame=0)
+        r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b,
+                                       args.steps, tighten_frame=0,
+                                       ray_skip=True)
+        # exact per-ray sampling + whole-ray skipping: the high-quality
+        # config (error = only the grid-threshold transmittance bound)
+        r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
+                                         args.steps, tighten_frame=0,
+                                         ray_skip=True)
 
         def delta(img):
             d = np.abs(img.astype(np.float32) - img_exact.astype(np.float32))
-            return {"max": float(d.max()), "mean": float(d.mean())}
+            # PSNR vs the exact render: max alone over-weights single edge
+            # pixels; PSNR is the metric quality parity is judged in
+            mse = float(np.mean(d ** 2))
+            return {"max": float(d.max()), "mean": float(d.mean()),
+                    "psnr_vs_exact": round(-10.0 * np.log10(mse + 1e-12), 2)}
 
         from moco_flow_tpu.train.vis import sigma_grid
         sig = sigma_grid(trainer, 0, n_grid=64)
@@ -193,8 +227,12 @@ def main():
             "exact_rays_per_sec": round(r_exact, 1),
             "budget_rays_per_sec": round(r_budget, 1),
             "budget_occ_rays_per_sec": round(r_occ, 1),
+            "budget_occ_skip_rays_per_sec": round(r_skip, 1),
+            "exact_occ_skip_rays_per_sec": round(r_eskip, 1),
             "budget_delta_vs_exact": delta(img_budget),
             "budget_occ_delta_vs_exact": delta(img_occ),
+            "budget_occ_skip_delta_vs_exact": delta(img_skip),
+            "exact_occ_skip_delta_vs_exact": delta(img_eskip),
             "config": {"fine_budget": args.fine_budget,
                        "coarse_probe": args.coarse_probe,
                        "occ_res": args.occ_res,

@@ -192,11 +192,22 @@ def import_reference(smpl_pickle_dir: str) -> types.SimpleNamespace:
         sys.path.insert(0, REF_ROOT)
     # tests/test_ref_parity.py installs an EMPTY 'datasets' stub (its parity
     # scope avoids the KNN_CUDA import); this driver needs the REAL package
-    # (knn_cuda is stubbed below) — evict any fileless stub first
+    # (knn_cuda is stubbed below) — evict any fileless stub first, AND every
+    # cached reference module: `from datasets import get_dataset` at module
+    # top (trainer/trainer_nerf.py:15) bakes the stub's lambda into any
+    # reference module imported while the stub was live, so those must
+    # reimport against the real package too.
+    stub_found = False
     for name in list(sys.modules):
         if (name == "datasets" or name.startswith("datasets.")) and \
                 getattr(sys.modules[name], "__file__", None) is None:
             del sys.modules[name]
+            stub_found = True
+    if stub_found:
+        for name, mod in list(sys.modules.items()):
+            f = getattr(mod, "__file__", None)
+            if f and f.startswith(REF_ROOT):
+                del sys.modules[name]
     _install_torch_stubs()
 
     import importlib
