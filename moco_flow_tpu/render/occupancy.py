@@ -26,10 +26,13 @@ Pipeline (all static-shape; nothing here recompiles the render fn):
      per-ray near/far, so the tightened rays flow through the existing
      fused/XLA render paths and compose with fine_budget/coarse_probe.
 
-Error bound: regions outside the tightened range have sigma <= threshold
-everywhere (up to grid resolution, mitigated by supersampled max-pooling +
-cell dilation + image dilation + t padding); quality is measured against
-exact renders on trained fields in tests/test_occupancy.py.
+Error bound: everything excluded — skipped rays and tightened-away ray
+segments alike — carries a rigorous optical-depth upper bound <= tau_eps
+(``occ_tau``, default 1e-3): probes read the 3^3-dilated per-cell max of
+the activated density and integrate it along the ray, so the excluded
+alpha is <= 1 - exp(-tau_eps). Quality is additionally measured against
+exact renders on trained fields in tests/test_occupancy.py and
+scripts/bench_occupancy.py.
 
 The grid is cheap: 64^3 at 2x supersampling = 2.1M sigma evals, ~2% of one
 1080^2 frame render, amortized over every view of that frame (novel-view
@@ -46,10 +49,22 @@ import numpy as np
 @dataclasses.dataclass
 class OccupancyGrid:
     """Host-side occupancy over the cube [-extent, extent]^3, index order
-    (x, y, z)."""
+    (x, y, z).
+
+    ``sig`` is the per-cell UPPER BOUND of the activated density (max-pooled
+    over the supersampled lattice, then 3^3-max dilated) — the quantity the
+    tau-integral bound in :func:`tighten_ray_bounds` consumes. ``occ`` is the
+    thresholded bool view (stats / hit tests). Grids built directly from a
+    bool mask (tests) get ``sig = inf`` inside occupied cells and 0 outside,
+    which reduces the tau bound to pure geometry."""
     occ: np.ndarray       # (R, R, R) bool
     extent: float
     threshold: float
+    sig: np.ndarray | None = None  # (R, R, R) float32, dilated upper bound
+
+    def __post_init__(self):
+        if self.sig is None:
+            self.sig = np.where(self.occ, np.inf, 0.0).astype(np.float32)
 
     @property
     def resolution(self) -> int:
@@ -65,18 +80,21 @@ class OccupancyGrid:
 
 
 def _dilate3d(occ: np.ndarray, steps: int = 1) -> np.ndarray:
-    """Binary 3-D dilation by ``steps`` cells (6+20-neighborhood via a full
-    3^3 max filter), pure numpy."""
+    """3-D max-filter dilation by ``steps`` cells (full 3^3 neighborhood),
+    pure numpy; works for bool (binary dilation) and float (running max)."""
     out = occ
+    reduce = np.logical_or if occ.dtype == bool else np.maximum
     for _ in range(steps):
-        p = np.pad(out, 1)
-        acc = np.zeros_like(out)
+        p = np.pad(out, 1) if occ.dtype == bool else \
+            np.pad(out, 1, constant_values=0.0)
+        acc = None
         for dx in (0, 1, 2):
             for dy in (0, 1, 2):
                 for dz in (0, 1, 2):
-                    acc |= p[dx:dx + out.shape[0],
-                             dy:dy + out.shape[1],
-                             dz:dz + out.shape[2]]
+                    s = p[dx:dx + out.shape[0],
+                          dy:dy + out.shape[1],
+                          dz:dz + out.shape[2]]
+                    acc = s.copy() if acc is None else reduce(acc, s)
         out = acc
     return out
 
@@ -112,12 +130,12 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
         sig = np.maximum(sig, 0.0)
     # sigma_grid's lattice is meshgrid(xy-indexed): axis order (y, x, z);
     # transpose to (x, y, z) so index math below reads naturally
-    sig = sig.transpose(1, 0, 2)
-    occ = sig > threshold
+    sig = np.ascontiguousarray(sig.transpose(1, 0, 2).astype(np.float32))
     if dilate:
-        occ = _dilate3d(occ, dilate)
+        sig = _dilate3d(sig, dilate)
+    occ = sig > threshold
     return OccupancyGrid(occ=np.ascontiguousarray(occ), extent=float(extent),
-                         threshold=float(threshold))
+                         threshold=float(threshold), sig=sig)
 
 
 def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
@@ -129,21 +147,49 @@ def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
     return grid.occ[ids[..., 0], ids[..., 1], ids[..., 2]] & inb
 
 
+def _lookup_sig(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
+    """(...,3) points -> per-cell sigma upper bound (0 outside the grid)."""
+    r = grid.resolution
+    ids = np.floor((pts + grid.extent) / grid.cell).astype(np.int64)
+    inb = np.all((ids >= 0) & (ids < r), axis=-1)
+    ids = np.clip(ids, 0, r - 1)
+    return np.where(inb, grid.sig[ids[..., 0], ids[..., 1], ids[..., 2]],
+                    0.0)
+
+
 def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
-                       pad_cells: float = 2.0, max_coarse: int = 8):
-    """Rewrite rays' near/far (columns 6, 7) to the occupied depth interval.
+                       pad_cells: float = 2.0, max_coarse: int = 8,
+                       tau_eps: float = 1e-3):
+    """Rewrite rays' near/far (columns 6, 7) to the interval that holds all
+    but ``tau_eps`` of the ray's optical-depth upper bound.
+
+    The bound: each probe reads the 3^3-dilated per-cell max of the
+    activated density (``grid.sig``), so ``max(s_i, s_{i+1}) * dt`` bounds
+    the true integral of sigma over probe segment i (probe spacing <= one
+    cell). A ray whose TOTAL bound is <= tau_eps has opacity
+    <= 1 - exp(-tau_eps) ~= tau_eps and is marked provably empty
+    (``stats['empty_mask']``: skip rendering, composite to background).
+    Otherwise near/far shrink to the interval outside of which the leading
+    and trailing tails each hold <= tau_eps/2 of optical depth — the
+    excluded regions provably contribute <= tau_eps of alpha. This replaces
+    a naive threshold-hit bracket, whose "empty" claim is unbounded: sigma
+    just under the threshold across the whole span composites to visible
+    color (measured: max pixel error 1.0 on a distilled field at
+    threshold 5).
 
     Args:
       rays: ``(H*W, >=9)`` packed rays (image-ordered).
       size: ``(H, W)``.
-      pad_cells: conservative padding of the interval, in grid cells (on
-        top of one probe spacing).
+      pad_cells: extra conservative padding of the interval, in grid cells
+        (on top of one probe spacing).
       max_coarse: probe every k-th pixel in x/y, k auto-clamped so the ray
         spacing at the far plane stays under one cell (small objects cannot
         fall between probed rays).
+      tau_eps: optical-depth budget for everything excluded (skipped rays
+        and tightened-away segments alike).
 
-    Returns ``(rays_tightened, stats)``; rays whose probes hit nothing keep
-    their original bounds.
+    Returns ``(rays_tightened, stats)``; rays with nothing to exclude keep
+    their original bounds bit-exactly.
     """
     rays = np.asarray(rays)
     h, w = size
@@ -171,38 +217,59 @@ def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
     ts = n_s[:, None] + (f_s - n_s)[:, None] * \
         np.linspace(0.0, 1.0, n_probe, dtype=np.float32)[None, :]
     pts = o_s[:, None, :] + d_s[:, None, :] * ts[..., None]
-    hit = _lookup(grid, pts)  # (S, P)
+    s = _lookup_sig(grid, pts)                          # (S, P)
 
-    t_hit_min = np.where(hit, ts, np.inf).min(axis=1)
-    t_hit_max = np.where(hit, ts, -np.inf).max(axis=1)
+    # per-segment optical-depth upper bound, then prefix mass. prefix[:, k]
+    # = bound on integral over [t_0, t_k] (P entries: prefix[:, 0] = 0).
+    dt = (ts[:, 1:] - ts[:, :-1]) * dn[:, None]
+    seg = np.maximum(s[:, 1:], s[:, :-1]) * dt          # (S, P-1)
+    zcol = np.zeros((seg.shape[0], 1), np.float32)
+    prefix = np.concatenate([zcol, np.cumsum(seg, axis=1)], axis=1)  # (S, P)
+    # suffix[k] = mass in [t_k, t_P]; reverse cumsum (NOT total - prefix,
+    # which is inf - inf = NaN for tests' hard-occupied inf cells)
+    suffix = np.concatenate(
+        [np.cumsum(seg[:, ::-1], axis=1)[:, ::-1], zcol], axis=1)
+    total = prefix[:, -1]
+
+    half = 0.5 * tau_eps
+    # last probe index whose leading mass is still <= eps/2 (>=0 exists:
+    # prefix[0] = 0), and first index whose trailing mass is <= eps/2
+    lead_ok = prefix <= half
+    trail_ok = suffix <= half
+    t_lo = np.take_along_axis(
+        ts, (lead_ok.shape[1] - 1 - np.argmax(lead_ok[:, ::-1], axis=1)
+             )[:, None], axis=1)[:, 0]
+    t_hi = np.take_along_axis(
+        ts, np.argmax(trail_ok, axis=1)[:, None], axis=1)[:, 0]
+
     ch, cw = len(ys), len(xs)
-    tmin = t_hit_min.reshape(ch, cw)
-    tmax = t_hit_max.reshape(ch, cw)
 
     # image-space 3x3 min/max dilation (covers rays between probe rays)
     def _erode_min(a):
-        p = np.pad(a, 1, constant_values=np.inf)
+        p = np.pad(a.reshape(ch, cw), 1, constant_values=np.inf)
         return np.min([p[i:i + ch, j:j + cw]
                        for i in (0, 1, 2) for j in (0, 1, 2)], axis=0)
 
     def _dilate_max(a):
-        p = np.pad(a, 1, constant_values=-np.inf)
+        p = np.pad(a.reshape(ch, cw), 1, constant_values=0.0)
         return np.max([p[i:i + ch, j:j + cw]
                        for i in (0, 1, 2) for j in (0, 1, 2)], axis=0)
 
-    tmin = _erode_min(tmin)
-    tmax = _dilate_max(tmax)
+    t_lo = _erode_min(t_lo)
+    t_hi = _dilate_max(np.where(total > 0, t_hi, 0.0))
+    total_d = _dilate_max(total)
 
     # nearest upsample back to (h, w)
     up_y = np.minimum(np.arange(h) // coarse, ch - 1)
     up_x = np.minimum(np.arange(w) // coarse, cw - 1)
-    tmin_full = tmin[up_y[:, None], up_x[None, :]].reshape(-1)
-    tmax_full = tmax[up_y[:, None], up_x[None, :]].reshape(-1)
+    t_lo_full = t_lo[up_y[:, None], up_x[None, :]].reshape(-1)
+    t_hi_full = t_hi[up_y[:, None], up_x[None, :]].reshape(-1)
+    total_full = total_d[up_y[:, None], up_x[None, :]].reshape(-1)
 
     pad_t = pad_cells * grid.cell + span.max() / max(n_probe - 1, 1)
-    empty = ~np.isfinite(tmin_full)
-    new_near = np.clip(tmin_full - pad_t, near, far)
-    new_far = np.clip(tmax_full + pad_t, near, far)
+    empty = total_full <= tau_eps
+    new_near = np.clip(t_lo_full - pad_t, near, far)
+    new_far = np.clip(t_hi_full + pad_t, near, far)
     new_near = np.where(empty, near, new_near)
     new_far = np.where(empty, far, new_far)
 
@@ -215,13 +282,13 @@ def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
         "empty_frac": float(empty.mean()),
         "range_ratio": float(np.mean((new_far - new_near)
                                      / (far - near + 1e-12))),
-        # per-ray "provably empty" mask (image-dilated, conservative): every
-        # probe along the ray missed the occupied set, so the ray's
-        # transmittance loss is bounded by the grid threshold — such rays can
-        # skip rendering entirely (rgb = background, opacity = 0). This is
-        # where the big test-time win lives: a person covers ~10-40% of a
-        # frame, so whole-ray skipping multiplies frame throughput by
-        # 1/(1-empty_frac) on top of the depth-bound tightening.
+        # per-ray "provably empty" mask (image-dilated, conservative): the
+        # ray's whole-span optical-depth bound is <= tau_eps, so skipping it
+        # changes the pixel by at most ~tau_eps — such rays render as pure
+        # background (render_masked_image). This is where the big test-time
+        # win lives: a person covers ~10-40% of a frame, so whole-ray
+        # skipping multiplies frame throughput by 1/(1-empty_frac) on top
+        # of the depth-bound tightening.
         "empty_mask": empty,
     }
     return out, stats

@@ -254,19 +254,73 @@ class BaseTrainer:
             self._render_fns[key_] = fn
         return self._render_fns[key_]
 
+    def _tile_render_fn(self, rcfg: RenderConfig):
+        """One jitted single-tile render; jax.jit shape-specializes per tile
+        size, so variable tail tiles reuse this one cache entry."""
+        key_ = (rcfg, "tile")
+        if key_ not in self._render_fns:
+            statics = self.statics
+
+            def one(params, anneal, rays, bkgd, key):
+                return render_rays(params, statics, anneal, rays, bkgd,
+                                   key, rcfg)
+
+            self._render_fns[key_] = jax.jit(one)
+        return self._render_fns[key_]
+
     def render_rays_chunked(self, rays, background, rcfg: RenderConfig,
                             anneal=None, chunk: int | None = None,
                             key=None) -> dict:
-        """Render any number of rays with bounded memory: pad to a chunk
-        multiple and ``lax.map`` over fixed-size tiles (the jitted analog of
-        the reference's Python chunk loop, trainer_moco_flow.py:196-224).
+        """Render any number of rays with bounded memory (the jitted analog
+        of the reference's Python chunk loop, trainer_moco_flow.py:196-224).
         ``chunk`` defaults to the config's ``model.chunk`` (the reference's
-        render-tile knob; 16384 measured fastest on v5e, PERF.md)."""
+        render-tile knob; 16384 measured fastest on v5e, PERF.md).
+
+        Single-chip: a Python loop dispatches one compiled tile fn per
+        chunk, padding only the TAIL chunk, and only up to the next
+        power-of-two bucket (>=2048) — so masked renders
+        (render_masked_image), whose kept-ray count varies per frame, waste
+        <= one bucket of compute instead of up to a whole chunk, and each
+        new count costs at most one small-bucket compile rather than a new
+        multi-tile program. Multi-chip: pad to a full chunk multiple and
+        ``lax.map`` over fixed-size tiles with the tile axis sharded across
+        the mesh."""
         if chunk is None:
             chunk = int(self.config["model"].get("chunk", 16384))
         if key is None:
             key = jax.random.key(0)
         n = rays.shape[0]
+        if self.world_size <= 1:
+            fn = self._tile_render_fn(rcfg)
+            bg = background if background is not None else jnp.ones((n, 3))
+            outs = []
+            i = 0
+            while i < n:
+                rows = min(chunk, n - i)
+                bucket = rows if rows == chunk else \
+                    min(chunk, max(2048, 1 << (rows - 1).bit_length()))
+                tile = rays[i:i + rows]
+                bgt = bg[i:i + rows]
+                if bucket > rows:
+                    tile = jnp.concatenate(
+                        [tile, jnp.broadcast_to(tile[-1:],
+                                                (bucket - rows,
+                                                 tile.shape[1]))])
+                    bgt = jnp.concatenate(
+                        [bgt, jnp.broadcast_to(bgt[-1:],
+                                               (bucket - rows, 3))])
+                outs.append((rows, fn(self.params, anneal or {}, tile, bgt,
+                                      key)))
+                i += rows
+            flat = {}
+            for k, v0 in outs[0][1].items():
+                if v0.ndim >= 1:  # per-ray output
+                    flat[k] = (jnp.concatenate([o[k][:r] for r, o in outs])
+                               if len(outs) > 1 else v0[:n])
+                else:  # per-chunk scalars (consensus terms): average
+                    flat[k] = (jnp.mean(jnp.stack([o[k] for _, o in outs]))
+                               if len(outs) > 1 else v0)
+            return flat
         pad = (-n) % chunk
         rays_p = jnp.concatenate(
             [rays, jnp.broadcast_to(rays[-1:], (pad, rays.shape[1]))]) if pad else rays
@@ -355,7 +409,8 @@ class BaseTrainer:
         return {"resolution": int(m.get("occ_res", 0)),
                 "threshold": float(m.get("occ_threshold", 5.0)),
                 "supersample": int(m.get("occ_supersample", 2)),
-                "extent": float(m.get("occ_extent", 1.5))}
+                "extent": float(m.get("occ_extent", 1.5)),
+                "tau": float(m.get("occ_tau", 1e-3))}
 
     def occupancy_grid(self, frame_idx: int):
         """Cached per-frame observation-space occupancy grid (canonical for
@@ -379,17 +434,18 @@ class BaseTrainer:
         from ..render.occupancy import tighten_ray_bounds
         grid = self.occupancy_grid(frame_idx)
         out, stats = tighten_ray_bounds(grid, np.asarray(rays),
-                                        size or self.val_dataset.size)
+                                        size or self.val_dataset.size,
+                                        tau_eps=self.occ_cfg["tau"])
         self._occ_keep = ~stats.pop("empty_mask")
         self._occ_stats = stats
         return jnp.asarray(out)
 
     def occ_keep_mask(self):
         """Bool (n_rays,) mask from the LAST :meth:`tighten_rays` call:
-        True where the ray's occupancy probes hit something. Rays that are
-        False composite to exact background up to the grid-threshold error
-        bound and can skip rendering entirely (render_masked_image). None
-        when occupancy is off."""
+        True where the ray's optical-depth upper bound exceeds ``occ_tau``.
+        Rays that are False composite to background within ~occ_tau of the
+        exact pixel and can skip rendering entirely (render_masked_image).
+        None when occupancy is off."""
         if self.occ_cfg["resolution"] <= 0:
             return None
         return getattr(self, "_occ_keep", None)

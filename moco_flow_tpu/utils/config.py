@@ -42,6 +42,7 @@ _SCHEMA = {
               "nerf_activate_type", "compute_dtype", "mlp_impl", "remat",
               "fine_budget", "coarse_probe", "hash_grid",
               "occ_res", "occ_threshold", "occ_supersample", "occ_extent",
+              "occ_tau",
               "nof_embedding_xyz", "nof_embedding_ind", "nerf_embedding_xyz",
               "nerf_embedding_dir", "nerf_embedding_ind",
               "fw_NoF", "bw_NoF", "coarse_NeRF", "fine_NeRF"},

@@ -81,6 +81,52 @@ def test_all_occupied_is_bit_exact_noop():
     assert stats["range_ratio"] == pytest.approx(1.0)
 
 
+def test_subthreshold_fog_is_not_empty():
+    """The tau bound: density below any bool threshold but with a large
+    integral along the ray must NOT be skipped (the old threshold-hit
+    criterion marked such rays 'provably empty' at max pixel error 1.0)."""
+    res, extent = 16, 1.5
+    sig = np.full((res, res, res), 4.0, np.float32)  # below threshold 5
+    grid = OccupancyGrid(occ=sig > 5.0, extent=extent, threshold=5.0,
+                         sig=sig)
+    rays = _camera_rays(16, 16, focal=20.0)
+    out, stats = tighten_ray_bounds(grid, rays, (16, 16))
+    assert stats["empty_frac"] == 0.0          # tau = 4 * span >> eps
+    np.testing.assert_array_equal(out, rays)   # fog everywhere: no tighten
+    # genuinely negligible fog IS empty: tau = 1e-6 * ~4 << 1e-3
+    sig2 = np.full((res, res, res), 1e-6, np.float32)
+    grid2 = OccupancyGrid(occ=sig2 > 5.0, extent=extent, threshold=5.0,
+                          sig=sig2)
+    out2, stats2 = tighten_ray_bounds(grid2, rays, (16, 16))
+    assert stats2["empty_frac"] == 1.0
+    np.testing.assert_array_equal(out2, rays)
+
+
+def test_tail_mass_bounds_tightening():
+    """Tightened-away leading/trailing segments each hold <= tau_eps/2 of
+    optical depth."""
+    res, extent = 32, 1.5
+    rng = np.random.default_rng(3)
+    sig = (rng.uniform(size=(res, res, res)) < 0.02).astype(np.float32) * 50
+    grid = OccupancyGrid(occ=sig > 5.0, extent=extent, threshold=5.0,
+                         sig=sig)
+    h = w = 20
+    rays = _camera_rays(h, w, focal=30.0)
+    tau = 1e-3
+    out, _ = tighten_ray_bounds(grid, rays, (h, w), tau_eps=tau)
+    from moco_flow_tpu.render.occupancy import _lookup_sig
+    t_dense = np.linspace(1.0, 5.0, 2000, dtype=np.float32)
+    dt = t_dense[1] - t_dense[0]
+    for i in range(0, h * w, 13):
+        pts = rays[i, 0:3] + rays[i, 3:6] * t_dense[:, None]
+        s = _lookup_sig(grid, pts)
+        lead = float(np.sum(s[t_dense < out[i, 6]]) * dt)
+        trail = float(np.sum(s[t_dense > out[i, 7]]) * dt)
+        # dense Riemann sum vs the probe upper bound: allow quadrature slack
+        assert lead <= 0.5 * tau + 1e-6, i
+        assert trail <= 0.5 * tau + 1e-6, i
+
+
 def test_empty_grid_keeps_bounds():
     grid = OccupancyGrid(occ=np.zeros((8, 8, 8), bool), extent=1.5,
                          threshold=5.0)
