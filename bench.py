@@ -15,6 +15,11 @@ The default ``--mode both`` reports the train axis plus a
 resolves to the fused VMEM megakernels on TPU; ``--fine_budget`` (default
 128) enables empty-space skipping for the render axis (0 = exact reference
 sampling; see PARITY.md).
+
+``--occ_axis`` (default on) additionally distills a sharp body-shaped
+density into the NeRF (untrained fields make skipping look arbitrarily
+good) and reports occupancy-grid whole-ray skipping throughput + quality
+(``render_occ_*`` fields; render/occupancy.py, PERF.md round-3 table).
 """
 
 from __future__ import annotations
@@ -135,6 +140,14 @@ def main():
     ap.add_argument("--occ_res", type=int, default=0,
                     help="occupancy-grid depth tightening for the render "
                          "axis (render/occupancy.py; 0 = off)")
+    ap.add_argument("--occ_axis", type=int, default=1,
+                    help="1 (default): also measure the occupancy-grid "
+                         "render axis on a distilled body-shaped field "
+                         "(render/occupancy.py; scripts/bench_occupancy.py "
+                         "is the full version) — untrained fields make "
+                         "empty-space skipping look arbitrarily good, so "
+                         "this axis distills a sharp SMPL-shell density "
+                         "first. 0: skip (faster bench)")
     ap.add_argument("--coarse_probe", type=int, default=32,
                     help="test-time coarse subsampling: strided sigma probe "
                          "count (0 = evaluate all coarse samples; the "
@@ -177,6 +190,54 @@ def main():
             value = render_value
             metric = "render_rays_per_sec_per_chip"
             base = BASELINE_RENDER_RAYS_PER_SEC
+
+        occ = None
+        if args.occ_axis and args.mode in ("render", "both"):
+            # occupancy axis LAST: the distillation overwrites the NeRF
+            # params (and disables c2f), which must not affect the train /
+            # plain-render axes above
+            import dataclasses
+
+            import numpy as np
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from bench_occupancy import distill_sharp_field, time_render
+            import jax
+            import jax.numpy as jnp
+            trainer.config.raw["model"]["occ_res"] = 64
+            distill_sharp_field(trainer, trainer.smpl_data, steps=250)
+            jax.block_until_ready(trainer.params)
+            ds = trainer.val_dataset
+            rays, _ = ds.frame_rays(0)
+            bg = jnp.ones((rays.shape[0], 3))
+            rcfg_b = trainer.rcfg_test
+            rcfg_e = dataclasses.replace(rcfg_b, fine_budget=0,
+                                         coarse_probe=0)
+            reps = max(args.steps // 4, 3)
+            _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
+            trainer.occupancy_grid(0)  # build outside the timed loop
+            r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
+                                           tighten_frame=0, ray_skip=True)
+            r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
+                                             reps, tighten_frame=0,
+                                             ray_skip=True)
+
+            def psnr(img):
+                mse = float(np.mean((np.asarray(img, np.float32)
+                                     - np.asarray(img_exact,
+                                                  np.float32)) ** 2))
+                return round(-10.0 * float(np.log10(mse + 1e-12)), 1)
+
+            occ = {
+                "render_occ_rays_per_sec_per_chip":
+                    round(r_skip / trainer.world_size, 1),
+                "render_occ_psnr_vs_exact": psnr(img_skip),
+                "render_occ_exact_sampling_rays_per_sec_per_chip":
+                    round(r_eskip / trainer.world_size, 1),
+                "render_occ_exact_sampling_psnr_vs_exact": psnr(img_eskip),
+                "occ_empty_frac": round(
+                    float(trainer._occ_stats["empty_frac"]), 4),
+            }
     print(chatter.getvalue(), file=sys.stderr)
     out = {
         "metric": metric,
@@ -197,6 +258,8 @@ def main():
             render_value / BASELINE_RENDER_RAYS_PER_SEC, 3)
     if render_exact is not None:
         out["render_exact_rays_per_sec_per_chip"] = round(render_exact, 1)
+    if occ is not None:
+        out.update(occ)
     print(json.dumps(out))
 
 
