@@ -26,8 +26,8 @@ from ..nn.embedding import posenc
 from ..nn.losses import masked_mean
 from ..nn.nerf import NeRFConfig, nerf_apply, nerf_apply_perray_extra, nerf_sigma
 from ..nn.nof import NoFConfig, nof_apply, nof_apply_split
-from .sampling import (compact_fine_samples, sample_pdf,
-                       stratified_zvals)
+from .sampling import (compact_fine_samples, merge_cano_by_z, sample_pdf,
+                       stratified_zvals, unsort_by_pos)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +99,14 @@ class RenderConfig:
     # sigma-only coarse pass on this many strided stratified depths
     # (must divide n_samples) instead of all of them — the importance pdf
     # and skip scores then come from a coarser histogram. 0 = exact.
+    share_coarse_warps: bool = True  # the fine sample set is the union of
+    # the coarse depths and the new importance depths; the NoF warp chain
+    # is the SAME networks for both passes, so the coarse subset's warps
+    # are reused instead of re-evaluated (exact: identical values,
+    # duplicated-point gradients sum) — halves the fine-pass warp FLOPs.
+    # The reference re-evaluates the union (models/rendering.py:316-330).
+    # Off: re-warp all fine samples like the reference. Inert on the
+    # fused test-time path (warps live inside the pass megakernel).
 
     @property
     def dtype(self):
@@ -397,6 +405,25 @@ def _consensus(disp_src: jnp.ndarray, disp_rec: jnp.ndarray,
     return masked_mean(per_sample, alphas >= 0.01)
 
 
+def _consensus_parts(parts) -> jnp.ndarray:
+    """:func:`_consensus` over the concatenation of ``parts`` (each
+    ``(disp_src, disp_rec, alphas)``) WITHOUT concatenating: masked means
+    decompose into summed numerators/denominators, so the fine pass's
+    consensus can run on its coarse-subset and new-sample halves in concat
+    order — no sorted (N, S, 3) payloads needed (see merge_cano_by_z)."""
+    num = den = tot = 0.0
+    cnt = 0
+    for src, rec, alphas in parts:
+        per = jnp.mean(jnp.abs(src - rec), axis=-1)
+        m = (alphas >= 0.01).astype(per.dtype)
+        num = num + jnp.sum(per * m)
+        den = den + jnp.sum(m)
+        tot = tot + jnp.sum(per)
+        cnt += per.size
+    # masked_mean's empty-mask fallback (plain mean), decomposed
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), tot / cnt)
+
+
 def render_rays(params: dict, statics: ModelStatics, anneal: dict,
                 rays: jnp.ndarray, background: jnp.ndarray | None,
                 key: jax.Array, rcfg: RenderConfig) -> dict:
@@ -557,14 +584,35 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         z_fine = sample_pdf(k_pdf, z_mid, weights_c[:, 1:-1],
                             rcfg.n_importance, det=(rcfg.perturb == 0))
         z_fine = jax.lax.stop_gradient(z_fine)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
-        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-
-        if use_nof:
-            warped_f = warp_stack(xyz_fine)
-            fine_input = warped_f["cano"]
+        if use_nof and rcfg.share_coarse_warps:
+            # the fine set is the union of the coarse depths and the new
+            # importance depths, and the NoF warp chain is the same
+            # networks for both passes: warp only the NEW samples and
+            # depth-merge with the coarse pass's warps (exact — identical
+            # values; gradients of duplicated points sum through the
+            # shared eval). Halves the fine warp-chain kernels, the
+            # largest train-step cost (PERF.md round-3 profile). The
+            # reference re-warps the whole union
+            # (models/rendering.py:316-330).
+            xyz_new = (rays_o[:, None, :]
+                       + rays_d[:, None, :] * z_fine[..., None])
+            warped_new = warp_stack(xyz_new)
+            # sort ONLY cano (the fine NeRF input); recon/chain_recon feed
+            # order-free consensus means, computed on the concat halves
+            # below with inverse-permuted alphas (_consensus_parts)
+            z_all, fine_input, fine_pos = merge_cano_by_z(
+                z_vals, z_fine, warped_c["cano"], warped_new["cano"])
+            xyz_fine = None  # consensus uses the per-half sample positions
         else:
-            fine_input = xyz_fine
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                             axis=-1)
+            xyz_fine = (rays_o[:, None, :]
+                        + rays_d[:, None, :] * z_all[..., None])
+            if use_nof:
+                warped_f = warp_stack(xyz_fine)
+                fine_input = warped_f["cano"]
+            else:
+                fine_input = xyz_fine
 
         rgb_f, depth_f, weights_f, alphas_f = nerf_inference(
             params["fine_NeRF"], statics.fine or statics.coarse, statics,
@@ -575,11 +623,27 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         result["opacity_fine"] = jnp.sum(weights_f, axis=1)
 
         if use_nof and not rcfg.test_time:
-            if rcfg.chain_local:
-                result["nof_local_disp_fine"] = _consensus(
-                    xyz_fine, warped_f["recon"], alphas_f)
-            if rcfg.chain_global:
-                result["nof_global_disp_fine"] = _consensus(
-                    xyz_fine, warped_f["chain_recon"], alphas_f)
+            if rcfg.share_coarse_warps:
+                # alphas back to concat order (one cheap (N, S) sort);
+                # consensus over the coarse-subset + new-sample halves is
+                # exactly the consensus over the sorted union
+                alphas_cat = unsort_by_pos(fine_pos, alphas_f)
+                a_c = alphas_cat[:, :rcfg.n_samples]
+                a_n = alphas_cat[:, rcfg.n_samples:]
+                if rcfg.chain_local:
+                    result["nof_local_disp_fine"] = _consensus_parts([
+                        (xyz_coarse, warped_c["recon"], a_c),
+                        (xyz_new, warped_new["recon"], a_n)])
+                if rcfg.chain_global:
+                    result["nof_global_disp_fine"] = _consensus_parts([
+                        (xyz_coarse, warped_c["chain_recon"], a_c),
+                        (xyz_new, warped_new["chain_recon"], a_n)])
+            else:
+                if rcfg.chain_local:
+                    result["nof_local_disp_fine"] = _consensus(
+                        xyz_fine, warped_f["recon"], alphas_f)
+                if rcfg.chain_global:
+                    result["nof_global_disp_fine"] = _consensus(
+                        xyz_fine, warped_f["chain_recon"], alphas_f)
 
     return result

@@ -113,4 +113,5 @@ def render_config(model_cfg: dict, use_nof: bool = False,
         remat=bool(model_cfg.get("remat", False)) and not test_time,
         fine_budget=fine_budget,
         coarse_probe=coarse_probe,
+        share_coarse_warps=bool(model_cfg.get("share_coarse_warps", True)),
     )

@@ -41,6 +41,7 @@ _SCHEMA = {
               "N_importance", "use_disp", "perturb", "noise_std",
               "nerf_activate_type", "compute_dtype", "mlp_impl", "remat",
               "fine_budget", "coarse_probe", "hash_grid",
+              "share_coarse_warps",
               "occ_res", "occ_threshold", "occ_supersample", "occ_extent",
               "occ_tau",
               "nof_embedding_xyz", "nof_embedding_ind", "nerf_embedding_xyz",

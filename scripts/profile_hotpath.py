@@ -70,7 +70,9 @@ def summarize(trace_dir: str, top_k: int = 40) -> None:
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane.pb under {trace_dir}"
-    pd = ProfileData.from_file(paths[0])
+    # NEWEST trace — the default trace_dir persists across runs, and an old
+    # xplane.pb here once profiled a week-old graph (cost an afternoon)
+    pd = ProfileData.from_file(max(paths, key=os.path.getmtime))
     per_op = collections.Counter()
     per_bucket = collections.Counter()
     for plane in pd.planes:

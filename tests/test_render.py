@@ -174,3 +174,90 @@ def test_render_jit_and_grad(key):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_merge_sorted_samples_matches_argsort(key):
+    from moco_flow_tpu.render.sampling import merge_sorted_samples
+    rng = np.random.default_rng(11)
+    za = np.sort(rng.uniform(1, 3, size=(5, 7)).astype(np.float32), axis=-1)
+    zb = rng.uniform(1, 3, size=(5, 4)).astype(np.float32)
+    pa = {"cano": rng.normal(size=(5, 7, 3)).astype(np.float32)}
+    pb = {"cano": rng.normal(size=(5, 4, 3)).astype(np.float32)}
+    z_all, merged = merge_sorted_samples(jnp.asarray(za), jnp.asarray(zb),
+                                         {"cano": jnp.asarray(pa["cano"])},
+                                         {"cano": jnp.asarray(pb["cano"])})
+    zc = np.concatenate([za, zb], axis=-1)
+    pc = np.concatenate([pa["cano"], pb["cano"]], axis=1)
+    order = np.argsort(zc, axis=-1, kind="stable")
+    np.testing.assert_allclose(np.asarray(z_all),
+                               np.take_along_axis(zc, order, axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(merged["cano"]),
+        np.take_along_axis(pc, order[..., None], axis=1))
+
+    # VJP: d/dpayload of sum(w * merged) must scatter w back through the
+    # permutation — compare against the argsort oracle
+    w = rng.normal(size=(5, 11, 3)).astype(np.float32)
+
+    def f(a, b):
+        _, m = merge_sorted_samples(jnp.asarray(za), jnp.asarray(zb),
+                                    {"cano": a}, {"cano": b})
+        return jnp.sum(jnp.asarray(w) * m["cano"])
+
+    ga, gb = jax.grad(f, argnums=(0, 1))(jnp.asarray(pa["cano"]),
+                                         jnp.asarray(pb["cano"]))
+    inv = np.empty_like(order)
+    np.put_along_axis(inv, order, np.arange(11)[None].repeat(5, 0), axis=-1)
+    g_concat = np.take_along_axis(w, inv[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(ga), g_concat[:, :7], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), g_concat[:, 7:], rtol=1e-6)
+
+
+def test_share_coarse_warps_is_exact(key):
+    """The fine pass reusing the coarse pass's NoF warps must reproduce the
+    re-warp-everything path: same outputs, same parameter gradients (the
+    warp networks and inputs are identical; only evaluation count differs)."""
+    import dataclasses
+    params, statics = stage3_setup(key)
+    anneal = {"nerf_xyz": jnp.ones(10), "nof_xyz": jnp.ones(5)}
+    rcfg_on = RenderConfig(n_samples=12, n_importance=12, perturb=1.0,
+                           use_nof=True, chain_local=True, chain_global=True,
+                           noise_std=0.3, share_coarse_warps=True)
+    rcfg_off = dataclasses.replace(rcfg_on, share_coarse_warps=False)
+    rays = make_rays(8, with_chain=True)
+    bg = jnp.ones((8, 3))
+    k = jax.random.key(3)
+    out_on = render_rays(params, statics, anneal, rays, bg, k, rcfg_on)
+    out_off = render_rays(params, statics, anneal, rays, bg, k, rcfg_off)
+    assert set(out_on) == set(out_off)
+    for name in out_off:
+        np.testing.assert_allclose(np.asarray(out_on[name]),
+                                   np.asarray(out_off[name]),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+
+    def loss(p, rcfg):
+        out = render_rays(p, statics, anneal, rays, bg, k, rcfg)
+        return (jnp.mean(out["rgb_fine"] ** 2)
+                + out["nof_local_disp_fine"] + out["nof_global_disp_fine"]
+                + out["nof_local_disp_coarse"])
+
+    g_on = jax.grad(loss)(params, rcfg_on)
+    g_off = jax.grad(loss)(params, rcfg_off)
+    flat_on, _ = jax.tree_util.tree_flatten_with_path(g_on)
+    flat_off, _ = jax.tree_util.tree_flatten_with_path(g_off)
+    for (path, a), (_, b) in zip(flat_on, flat_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+    # test-time (no chains) variant
+    rcfg_t_on = dataclasses.replace(rcfg_on, test_time=True, perturb=0.0,
+                                    noise_std=0.0, chain_local=False,
+                                    chain_global=False)
+    rcfg_t_off = dataclasses.replace(rcfg_t_on, share_coarse_warps=False)
+    t_on = render_rays(params, statics, anneal, rays, bg, k, rcfg_t_on)
+    t_off = render_rays(params, statics, anneal, rays, bg, k, rcfg_t_off)
+    for name in t_off:
+        np.testing.assert_allclose(np.asarray(t_on[name]),
+                                   np.asarray(t_off[name]),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
