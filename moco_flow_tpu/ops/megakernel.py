@@ -121,6 +121,38 @@ def _pad_rays(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
         [x, jnp.zeros((n_pad, *x.shape[1:]), x.dtype)], axis=0)
 
 
+def _pick_r_t(n: int, s: int, rows: int) -> int:
+    """Rays per block for TRANSPOSED (C, r*s) blocks: the flat row count
+    r*s is the LANE dim, so it must be a multiple of 128 (or cover the
+    whole array in one block); the tiny leading component dim (3/4/9) is
+    sublanes and unconstrained."""
+    import math as _math
+    r = max(1, min(n, rows // max(s, 1)))
+    if r >= n:
+        return r
+    align = 128 // _math.gcd(s, 128)
+    if align > r:
+        # rounding UP to the alignment exceeds the soft row budget; allow
+        # it only while the block stays trivially small in absolute terms
+        # (the budget exists to bound VMEM, not to forbid 128-row blocks)
+        if align * s <= max(rows, 1024):
+            return min(n, align)
+        raise ValueError(
+            f"sample count {s} needs ray-block lane alignment {align} "
+            f"({align * s} flat rows), far above the VMEM row budget "
+            f"({rows}); lower the per-ray sample count or use one "
+            f"divisible by 128.")
+    return (r // align) * align
+
+
+def _pad_t(x_t: jnp.ndarray, pad_cols: int) -> jnp.ndarray:
+    """Pad the flat-row (lane) dim of a (C, T) transposed array."""
+    if pad_cols == 0:
+        return x_t
+    return jnp.concatenate(
+        [x_t, jnp.zeros((*x_t.shape[:-1], pad_cols), x_t.dtype)], axis=-1)
+
+
 def _dot(a, b, dtype, out_dtype=None):
     """(..., K) @ (K, N) on the MXU; operands cast to the compute dtype,
     accumulation fp32 (out bf16 only for hidden activations)."""
@@ -271,14 +303,14 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
     (T, 3) — the packed (T, 4) output would lane-pad to 128 in HBM and XLA
     would slice/relayout sigma back out (~14 ms per render tile measured)."""
     dt = _dtype(spec.dtype_name)
-    # PE computed TRANSPOSED: scaled_t (kc, T) straight off the MXU from
-    # row-major x, so sin/cos and their casts run on sublane-tiled (kc, T)
-    # arrays — row-major (T, kc) would lane-pad to 128 and each op would
-    # cost a full wide-op (PERF.md round 2)
-    scaled_t = jax.lax.dot_general(b_mat, x, (((0,), (1,)), ((), ())),
+    # FULLY TRANSPOSED xyz I/O: x arrives (3, T) (components on sublanes),
+    # so the PE, the first-layer x rows, the heads and the HBM DMA all run
+    # without the 3 -> 128 lane padding of row-major (T, 3) tensors
+    # (PERF.md rounds 2-3)
+    scaled_t = jax.lax.dot_general(b_mat, x, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
-    xb = x.astype(dt)
+    xb_t = x.astype(dt)
     sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     acts = []
@@ -287,12 +319,12 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
     for i in range(spec.depth):
         if i == 0:
             wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
                  + _dot_pe(cb_t, wcos, dt) + b.astype(jnp.float32))
         elif i in spec.skips:
             wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
                                      next(it))
-            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
                  + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
                  + b.astype(jnp.float32))
         else:
@@ -301,24 +333,17 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
         h = jnp.maximum(z, 0.0).astype(dt)
         acts.append(h)
     wsig, bsig = next(it), next(it)
-    if rs is not None:
-        # transposed sigma head: (1, T) row straight off the MXU; the
-        # in-kernel (1,T)->(R,S) lane split is an unsupported shape cast
-        # for S % 128 != 0, so the caller reshapes outside (contiguous --
-        # a free bitcast in XLA)
-        hh = h if dt is None else h.astype(dt)
-        ww = wsig if dt is None else wsig.astype(dt)
-        sigma_rs = jax.lax.dot_general(
-            ww, hh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) \
-            + bsig[:, 0:1].astype(jnp.float32)             # (1, T)
-    else:
-        sigma = jnp.sum(h.astype(jnp.float32) * wsig.astype(jnp.float32),
-                        axis=-1, keepdims=True) + bsig.astype(jnp.float32)
+    # sigma head TRANSPOSED off the MXU: (1, W) x (T, W) -> (1, T)
+    hh = h if dt is None else h.astype(dt)
+    ww = wsig if dt is None else wsig.astype(dt)
+    sigma_t = jax.lax.dot_general(
+        ww, hh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bsig[:, 0:1].astype(jnp.float32)                 # (1, T)
     if spec.sigma_only:
         if rs is not None:
-            return (None, sigma_rs), None
-        return sigma, (sin_t, cos_t, acts, None, None, None)
+            return (None, sigma_t), None
+        return sigma_t, (sin_t, cos_t, acts, None, None, None)
     wf, bf = next(it), next(it)
     hf = (_dot(h, wf, dt) + bf.astype(jnp.float32)).astype(dt)
     we, be = next(it), next(it)
@@ -327,23 +352,27 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
         ze = ze + p_e.astype(jnp.float32)             # (T, W/2), pre-broadcast
     he = jnp.maximum(ze, 0.0).astype(dt)
     wr, br = next(it), next(it)
-    rgb = jax.nn.sigmoid(_dot(he, wr, dt) + br.astype(jnp.float32))
+    # rgb head TRANSPOSED: (W/2, 3) x (T, W/2) -> (3, T)
+    wrr = wr if dt is None else wr.astype(dt)
+    rgb_t = jax.nn.sigmoid(jax.lax.dot_general(
+        wrr, he, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + br.T.astype(jnp.float32))
     if rs is not None:
-        return (rgb, sigma_rs), None
-    out = jnp.concatenate([rgb, sigma], axis=-1)
-    return out, (sin_t, cos_t, acts, hf, he, rgb)
+        return (rgb_t, sigma_t), None
+    out_t = jnp.concatenate([rgb_t, sigma_t], axis=0)      # (4, T)
+    return out_t, (sin_t, cos_t, acts, hf, he, rgb_t)
 
 
 @functools.lru_cache(maxsize=64)
 def _nerf_fwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
                    ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
-    r = _pick_r(n, s, _FWD_ROWS)
+    r = _pick_r_t(n, s, _FWD_ROWS)
     grid = pl.cdiv(n, r)
     out_dim = 1 if spec.sigma_only else 4
 
     def kernel(*refs):
-        x_ref = refs[0]
+        x_ref = refs[0]                              # (3, r*s)
         off = 1
         p_e = None
         if spec.has_extra:
@@ -353,11 +382,10 @@ def _nerf_fwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
         b_ref = refs[off]
         ws = [refs[off + 1 + i][...] for i in range(n_ws)]
         out_ref = refs[off + 1 + n_ws]
-        out, _ = _nerf_tile(x_ref[...].reshape(r * s, 3), p_e, ws, spec,
-                            b_ref[...])
-        out_ref[...] = out.reshape(r, s, out_dim)
+        out_t, _ = _nerf_tile(x_ref[...], p_e, ws, spec, b_ref[...])
+        out_ref[...] = out_t                         # (out_dim, r*s)
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     if spec.has_extra:
         e = spec.width // 2
@@ -373,34 +401,37 @@ def _nerf_fwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((r, s, out_dim), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((out_dim, r * s), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid * r, s, out_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_dim, grid * r * s),
+                                       jnp.float32),
         interpret=interpret,
     ), grid * r - n
 
 
-def _nerf_forward(spec: _NerfSpec, xyz, p_e, ws):
-    n, s = xyz.shape[0], xyz.shape[1]
+def _nerf_forward(spec: _NerfSpec, xyz_t, p_e, ws):
+    """xyz_t: (3, N, S); returns (out_dim, N, S)."""
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     ws = _cast_matrices(ws, spec.dtype_name)
     call, n_pad = _nerf_fwd_call(spec, n, s, len(ws),
                                  tuple(w.shape for w in ws), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
-    xyz_p = _pad_rays(xyz, n_pad)
-    args = [xyz_p]
+    args = [_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
     if spec.has_extra:
         args.append(_pad_rays(p_e, n_pad))
     out = call(*args, b_mat, *ws)
-    return out[:n] if n_pad else out
+    return out[:, :n * s].reshape(-1, n, s)
 
 
-def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
+def _nerf_bwd_tile(x_t, p_e, ws, g_t, spec: _NerfSpec, b_mat, r, s):
     """Recompute forward, then hand-chained backward for one flattened row
-    block. Returns (dx (T,3), dp_e (R,1,E)|None, [dws...]) — dws fp32, same
-    order as ws."""
+    block, transposed xyz I/O: ``x_t`` (3, T), ``g_t`` (4|1, T). Returns
+    (dx_t (3, T), dp_e (R, 1, E)|None, [dws...]) — dws fp32, same order
+    as ws."""
     dt = _dtype(spec.dtype_name)
-    _, (sin_t, cos_t, acts, hf, he, rgb) = _nerf_tile(x, p_e, ws, spec, b_mat)
-    xb = x.astype(dt)
+    _, (sin_t, cos_t, acts, hf, he, rgb_t) = _nerf_tile(x_t, p_e, ws, spec,
+                                                        b_mat)
+    xb_t = x_t.astype(dt)
     sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     it = iter(ws)
@@ -420,16 +451,25 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
     dws = {}
     h_last = acts[-1]
     if spec.sigma_only:
-        dsigma = g  # (R, S, 1)
-        dh = (dsigma * wsig.astype(jnp.float32))
+        dsigma_t = g_t                                     # (1, T)
+        dh = jax.lax.dot_general(                          # outer: (T, W)
+            dsigma_t, wsig.astype(jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     else:
-        drgb = g[..., 0:3] * rgb * (1.0 - rgb)
-        dsigma = g[..., 3:4]
-        drgb = drgb.astype(dt)
-        dws["wr"] = _dot_t(he, drgb)
-        dws["br"] = jnp.sum(drgb.astype(jnp.float32), axis=0, keepdims=True)
-        dhe = _dot_nt(drgb, wr, dt)
-        dhe = jnp.where(he.astype(jnp.float32) > 0.0, dhe.astype(jnp.float32), 0.0).astype(dt)
+        # rgb/sigma cotangents arrive transposed — the sigmoid chain and
+        # the 3-wide products run on (3, T) sublane tiles, not lane-padded
+        # (T, 3) ones
+        drgb_t = g_t[0:3] * rgb_t * (1.0 - rgb_t)          # (3, T) f32
+        dsigma_t = g_t[3:4]                                # (1, T)
+        d3 = drgb_t.astype(dt)
+        dws["wr"] = jax.lax.dot_general(                   # (W/2, 3)
+            he, d3, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dws["br"] = jnp.sum(drgb_t, axis=1, keepdims=True).T
+        dhe = jax.lax.dot_general(                         # (T, W/2)
+            d3, wr.astype(dt) if dt is not None else wr,
+            (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dhe = jnp.where(he.astype(jnp.float32) > 0.0, dhe, 0.0).astype(dt)
         dws["we"] = _dot_t(hf, dhe)
         dws["be"] = jnp.sum(dhe.astype(jnp.float32), axis=0, keepdims=True)
         if spec.has_extra:
@@ -439,12 +479,16 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
         dws["wf"] = _dot_t(h_last, dhf)
         dws["bf"] = jnp.sum(dhf.astype(jnp.float32), axis=0, keepdims=True)
         dh = (_dot_nt(dhf, wf, dt).astype(jnp.float32)
-              + dsigma * wsig.astype(jnp.float32))
-    dws["wsig"] = jnp.sum(
-        h_last.astype(jnp.float32) * dsigma, axis=0, keepdims=True)
-    dws["bsig"] = jnp.sum(dsigma, axis=0, keepdims=True)
+              + jax.lax.dot_general(                       # sigma outer
+                  dsigma_t, wsig.astype(jnp.float32),
+                  (((0,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32))
+    dws["wsig"] = jax.lax.dot_general(                     # (1, W)
+        dsigma_t, h_last.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dws["bsig"] = jnp.sum(dsigma_t, axis=1, keepdims=True)
 
-    dx = jnp.zeros_like(x)
+    dx_t = jnp.zeros_like(x_t)
     dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
     dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
     dlayers = [None] * spec.depth
@@ -460,23 +504,24 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
         else:
             if kind == "pe_skip":
                 wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
+                              _dot_pe_t(sb_t, dz, dt),
                               _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
                 wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
+                              _dot_pe_t(sb_t, dz, dt),
                               _dot_pe_t(cb_t, dz, dt), db]
                 dh = None
-            dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
+            dx_t = dx_t + _dot_pe_x(wx, dz, dt)
             dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
             dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
     # PE chain (transposed): d(scaled_t) = dsin_t*cos_t - dcos_t*sin_t;
-    # dx (T, 3) += dscaled_t^T @ B^T == contraction of dscaled_t's kc dim
-    # with B's kc dim, transposed result — one dot_general, no transposes
+    # dx_t (3, T) += B^T @ dscaled_t — one dot_general, no transposes
     dscaled_t = dsin_t * cos_t - dcos_t * sin_t
-    dx = dx + jax.lax.dot_general(
-        dscaled_t, b_mat, (((0,), (1,)), ((), ())),
+    dx_t = dx_t + jax.lax.dot_general(
+        b_mat, dscaled_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     out_dws = []
@@ -486,7 +531,8 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
     if not spec.sigma_only:
         out_dws += [dws["wf"], dws["bf"], dws["we"], dws["be"],
                     dws["wr"], dws["br"]]
-    return dx, (dp_e if (not spec.sigma_only and spec.has_extra) else None), \
+    return dx_t, \
+        (dp_e if (not spec.sigma_only and spec.has_extra) else None), \
         out_dws
 
 
@@ -494,13 +540,13 @@ def _nerf_bwd_tile(x, p_e, ws, g, spec: _NerfSpec, b_mat, r, s):
 def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
                    ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
-    r = _pick_r(n, s, _rows_budget(_BWD_ROWS, spec.width))
+    r = _pick_r_t(n, s, _rows_budget(_BWD_ROWS, spec.width))
     grid = pl.cdiv(n, r)
     out_dim = 1 if spec.sigma_only else 4
     e = spec.width // 2
 
     def kernel(*refs):
-        x_ref = refs[0]
+        x_ref = refs[0]                              # (3, r*s)
         off = 1
         p_e = None
         if spec.has_extra:
@@ -508,7 +554,7 @@ def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
             off = 2
         b_ref = refs[off]
         ws = [refs[off + 1 + i][...] for i in range(n_ws)]
-        g_ref = refs[off + 1 + n_ws]
+        g_ref = refs[off + 1 + n_ws]                 # (out_dim, r*s)
         outs = refs[off + 2 + n_ws:]
         dx_ref = outs[0]
         o = 1
@@ -516,10 +562,9 @@ def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
             dpe_ref = outs[1]
             o = 2
         dw_refs = outs[o:]
-        dx, dpe, dws = _nerf_bwd_tile(
-            x_ref[...].reshape(r * s, 3), p_e, ws,
-            g_ref[...].reshape(r * s, out_dim), spec, b_ref[...], r, s)
-        dx_ref[...] = dx.reshape(r, s, 3)
+        dx_t, dpe, dws = _nerf_bwd_tile(
+            x_ref[...], p_e, ws, g_ref[...], spec, b_ref[...], r, s)
+        dx_ref[...] = dx_t
         if spec.has_extra:
             dpe_ref[...] = dpe
 
@@ -533,7 +578,7 @@ def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
             for ref, dw in zip(dw_refs, dws):
                 ref[...] = ref[...] + dw
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     if spec.has_extra:
         in_specs.append(pl.BlockSpec((r, 1, e), lambda i: (i, 0, 0),
@@ -543,11 +588,11 @@ def _nerf_bwd_call(spec: _NerfSpec, n: int, s: int, n_ws: int,
     for shp in ws_shapes:
         in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
                                      memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((r, s, out_dim), lambda i: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((out_dim, r * s), lambda i: (0, i),
                                  memory_space=pltpu.VMEM))
 
-    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
-    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    out_shapes = [jax.ShapeDtypeStruct((3, grid * r * s), jnp.float32)]
+    out_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
     if spec.has_extra:
         out_shapes.append(jax.ShapeDtypeStruct((grid * r, 1, e), jnp.float32))
@@ -578,18 +623,19 @@ def _nerf_op_fwd(spec, xyz, p_e, *ws):
 
 
 def _nerf_op_bwd(spec, res, g):
-    xyz, p_e, ws = res
-    n, s = xyz.shape[0], xyz.shape[1]
+    xyz_t, p_e, ws = res
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     ws_k = _cast_matrices(ws, spec.dtype_name)  # kernel operands only
     call, n_pad = _nerf_bwd_call(spec, n, s, len(ws_k),
                                  tuple(w.shape for w in ws_k), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
-    xyz_p = _pad_rays(xyz, n_pad)
-    args = [xyz_p]
+    args = [_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
     if spec.has_extra:
         args.append(_pad_rays(p_e, n_pad))
-    outs = call(*args, b_mat, *ws_k, _pad_rays(g, n_pad))
-    dx = outs[0][:n]
+    out_dim = 1 if spec.sigma_only else 4
+    outs = call(*args, b_mat, *ws_k,
+                _pad_t(g.reshape(out_dim, n * s), n_pad * s))
+    dx = outs[0][:, :n * s].reshape(3, n, s)
     o = 1
     dp_e = None
     if spec.has_extra:
@@ -608,15 +654,28 @@ def nerf_fused_rays(params: dict, cfg: NeRFConfig, n_freqs: int,
                     logscale: bool, anneal: jnp.ndarray | None,
                     xyz: jnp.ndarray, extra_emb: jnp.ndarray | None,
                     sigma_only: bool, compute_dtype=None) -> jnp.ndarray:
-    """Fused NeRF over whole rays.
+    """Row-major adapter over :func:`nerf_fused_rays_t` — (N, S, 3) xyz in,
+    (N, S, 4|1) out. The fused train path calls the transposed variant
+    directly."""
+    out_t = nerf_fused_rays_t(params, cfg, n_freqs, logscale, anneal,
+                              jnp.moveaxis(xyz, -1, 0), extra_emb,
+                              sigma_only, compute_dtype)
+    return jnp.moveaxis(out_t, 0, -1)
+
+
+def nerf_fused_rays_t(params: dict, cfg: NeRFConfig, n_freqs: int,
+                      logscale: bool, anneal: jnp.ndarray | None,
+                      xyz_t: jnp.ndarray, extra_emb: jnp.ndarray | None,
+                      sigma_only: bool, compute_dtype=None) -> jnp.ndarray:
+    """Fused NeRF over whole rays, TRANSPOSED xyz I/O.
 
     Args:
-      xyz: (N, S, 3) raw sample positions.
+      xyz_t: (3, N, S) raw sample positions, components leading.
       extra_emb: (N, E) per-ray extra feature embedding (already PE'd) or
         None.
       anneal: (n_freqs,) PE annealing weights or None.
 
-    Returns (N, S, 4) rgb+sigma fp32, or (N, S, 1) sigma if ``sigma_only``.
+    Returns (4, N, S) rgb+sigma fp32, or (1, N, S) sigma if ``sigma_only``.
     """
     has_extra = (extra_emb is not None and not sigma_only
                  and cfg.extra_feat_type != "none")
@@ -628,7 +687,7 @@ def nerf_fused_rays(params: dict, cfg: NeRFConfig, n_freqs: int,
         dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         logscale=logscale)
     p_e = p_extra[:, None, :] if has_extra else None
-    return _nerf_op(spec, xyz, p_e, *ws)
+    return _nerf_op(spec, xyz_t, p_e, *ws)
 
 
 # ===========================================================================
@@ -736,13 +795,19 @@ def _nof_quat_bwd_t(res, g):
     return dout9, dxyz
 
 
-def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
+def _nof_tile(x_t, partials, ws, spec: _NofSpec, b_mat):
+    """NoF forward for one row block, FULLY TRANSPOSED xyz I/O: ``x_t`` is
+    ``(3, T)`` (components on sublanes) and the warped output is ``(3, T)``.
+    Row-major (T, 3) tensors lane-pad 3 -> 128, so every HBM touch and
+    every elementwise op on them costs a full wide op (PERF.md round 2 /
+    round 3); keeping xyz transposed end-to-end removes that tax from the
+    kernel DMA, the quat head, and the XLA glue between kernels."""
     dt = _dtype(spec.dtype_name)
-    # PE transposed (see _nerf_tile)
-    scaled_t = jax.lax.dot_general(b_mat, x, (((0,), (1,)), ((), ())),
+    # PE transposed: (kc, 3) @ (3, T) -> (kc, T) straight off the MXU
+    scaled_t = jax.lax.dot_general(b_mat, x_t, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
-    xb = x.astype(dt)
+    xb_t = x_t.astype(dt)
     sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     acts = []
@@ -752,13 +817,13 @@ def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
     for i in range(spec.depth):
         if i == 0:
             wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
                  + _dot_pe(cb_t, wcos, dt)
                  + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         elif i in spec.skips:
             wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
                                      next(it))
-            z = (_dot(xb, wx, dt) + _dot_pe(sb_t, wsin, dt)
+            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
                  + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
                  + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         else:
@@ -769,28 +834,31 @@ def _nof_tile(x, partials, ws, spec: _NofSpec, b_mat):
     whead, bhead = next(it), next(it)
     if spec.use_quat:
         # head emitted TRANSPOSED straight off the MXU (contract whead's
-        # input dim with h's feature dim) so the quat math runs with
-        # components on sublanes; only x needs an explicit transpose
+        # input dim with h's feature dim); x is already transposed
         hh = h if dt is None else h.astype(dt)
         wh = whead if dt is None else whead.astype(dt)
         out_t = jax.lax.dot_general(wh, hh, (((0,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         out_t = out_t + bhead.T.astype(jnp.float32)   # (9, T)
-        warped_t, qres = _nof_quat_fwd_t(out_t, x.T)
-        return warped_t.T, (sin_t, cos_t, acts, None, qres)
-    out = _dot(h, whead, dt) + bhead.astype(jnp.float32)
-    return out + x, (sin_t, cos_t, acts, out, None)
+        warped_t, qres = _nof_quat_fwd_t(out_t, x_t)
+        return warped_t, (sin_t, cos_t, acts, None, qres)
+    hh = h if dt is None else h.astype(dt)
+    wh = whead if dt is None else whead.astype(dt)
+    out_t = jax.lax.dot_general(wh, hh, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) \
+        + bhead.T.astype(jnp.float32)                 # (3, T)
+    return out_t + x_t, (sin_t, cos_t, acts, None, None)
 
 
 @functools.lru_cache(maxsize=64)
 def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
                   ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
-    r = _pick_r(n, s, _FWD_ROWS)
+    r = _pick_r_t(n, s, _FWD_ROWS)
     grid = pl.cdiv(n, r)
 
     def kernel(*refs):
-        x_ref = refs[0]
+        x_ref = refs[0]                              # (3, r*s)
         w = spec.width
         partials = [
             jnp.broadcast_to(refs[1 + i][...], (r, s, w)).reshape(r * s, w)
@@ -798,11 +866,10 @@ def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
         b_ref = refs[1 + n_part]
         ws = [refs[2 + n_part + i][...] for i in range(n_ws)]
         out_ref = refs[2 + n_part + n_ws]
-        out, _ = _nof_tile(x_ref[...].reshape(r * s, 3), partials, ws, spec,
-                           b_ref[...])
-        out_ref[...] = out.reshape(r, s, 3)
+        out_t, _ = _nof_tile(x_ref[...], partials, ws, spec, b_ref[...])
+        out_ref[...] = out_t                         # (3, r*s)
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     for _ in range(n_part):
         in_specs.append(pl.BlockSpec((r, 1, spec.width), lambda i: (i, 0, 0),
@@ -817,25 +884,26 @@ def _nof_fwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((3, r * s), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, grid * r * s), jnp.float32),
         interpret=interpret,
     ), grid * r - n
 
 
-def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s,
+def _nof_bwd_tile(x_t, partials, ws, g_t, spec: _NofSpec, b_mat, r, s,
                   res=None):
-    """Per-warp VJP tile. ``res`` passes the forward residuals
-    (sin_t, cos_t, acts, out9, qres) when the caller already ran the
+    """Per-warp VJP tile, transposed xyz I/O: ``x_t``/``g_t``/returned
+    ``dx_t`` are ``(3, T)``. ``res`` passes the forward residuals
+    (sin_t, cos_t, acts, _, qres) when the caller already ran the
     forward (the chain backward computes every stage's input anyway —
     recomputing the same forward again inside the VJP was ~25% of the
     chain backward's FLOPs)."""
     dt = _dtype(spec.dtype_name)
     if res is None:
-        _, res = _nof_tile(x, partials, ws, spec, b_mat)
-    sin_t, cos_t, acts, out9, qres = res
-    xb = x.astype(dt)
+        _, res = _nof_tile(x_t, partials, ws, spec, b_mat)
+    sin_t, cos_t, acts, _, qres = res
+    xb_t = x_t.astype(dt)
     sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
 
     it = iter(ws)
@@ -851,8 +919,7 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s,
 
     h_last = acts[-1]
     if spec.use_quat:
-        dout9_t, dx_t = _nof_quat_bwd_t(qres, g.T)    # (9,T), (3,T)
-        dx = dx_t.T
+        dout9_t, dx_t = _nof_quat_bwd_t(qres, g_t)    # (9,T), (3,T)
         d9 = dout9_t if dt is None else dout9_t.astype(dt)
         hh = h_last if dt is None else h_last.astype(dt)
         wh = whead if dt is None else whead.astype(dt)
@@ -864,11 +931,15 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s,
         dh = jax.lax.dot_general(d9, wh, (((0,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     else:
-        dout9, dx = g, g
-        dout9 = dout9.astype(dt) if dt is not None else dout9
-        dwhead = _dot_t(h_last, dout9)
-        dbhead = jnp.sum(dout9.astype(jnp.float32), axis=0, keepdims=True)
-        dh = _dot_nt(dout9, whead, dt).astype(jnp.float32)
+        dx_t = g_t
+        d3 = g_t.astype(dt) if dt is not None else g_t
+        hh = h_last if dt is None else h_last.astype(dt)
+        wh = whead if dt is None else whead.astype(dt)
+        dwhead = jax.lax.dot_general(hh, d3, (((0,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dbhead = jnp.sum(g_t, axis=1, keepdims=True).T
+        dh = jax.lax.dot_general(d3, wh, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
 
     dlayers = [None] * spec.depth
     # count pe layers first: one partial slot per PE-consuming layer
@@ -890,56 +961,57 @@ def _nof_bwd_tile(x, partials, ws, g, spec: _NofSpec, b_mat, r, s,
         else:
             if kind == "pe_skip":
                 wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
+                              _dot_pe_t(sb_t, dz, dt),
                               _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
                 wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_t(xb, dz), _dot_pe_t(sb_t, dz, dt),
+                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
+                              _dot_pe_t(sb_t, dz, dt),
                               _dot_pe_t(cb_t, dz, dt), db]
                 dh = None
             dpartials[pe_order.index(i)] = jnp.sum(
                 dz.astype(jnp.float32).reshape(r, s, -1), axis=1,
                 keepdims=True)
-            dx = dx + _dot_nt(dz, wx, dt).astype(jnp.float32)
+            dx_t = dx_t + _dot_pe_x(wx, dz, dt)
             dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
             dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
     dscaled_t = dsin_t * cos_t - dcos_t * sin_t
-    dx = dx + jax.lax.dot_general(
-        dscaled_t, b_mat, (((0,), (1,)), ((), ())),
+    dx_t = dx_t + jax.lax.dot_general(
+        b_mat, dscaled_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     out_dws = []
     for i in range(spec.depth):
         out_dws += dlayers[i]
     out_dws += [dwhead, dbhead]
-    return dx, [d for d in dpartials if d is not None], out_dws
+    return dx_t, [d for d in dpartials if d is not None], out_dws
 
 
 @functools.lru_cache(maxsize=64)
 def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
                   ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.kc // 3, spec.logscale)
-    r = _pick_r(n, s, _rows_budget(_BWD_ROWS, spec.width))
+    r = _pick_r_t(n, s, _rows_budget(_BWD_ROWS, spec.width))
     grid = pl.cdiv(n, r)
 
     def kernel(*refs):
-        x_ref = refs[0]
+        x_ref = refs[0]                              # (3, r*s)
         w = spec.width
         partials = [
             jnp.broadcast_to(refs[1 + i][...], (r, s, w)).reshape(r * s, w)
             for i in range(n_part)]
         b_ref = refs[1 + n_part]
         ws = [refs[2 + n_part + i][...] for i in range(n_ws)]
-        g_ref = refs[2 + n_part + n_ws]
+        g_ref = refs[2 + n_part + n_ws]              # (3, r*s)
         outs = refs[3 + n_part + n_ws:]
         dx_ref = outs[0]
         dpart_refs = outs[1:1 + n_part]
         dw_refs = outs[1 + n_part:]
-        dx, dparts, dws = _nof_bwd_tile(
-            x_ref[...].reshape(r * s, 3), partials, ws,
-            g_ref[...].reshape(r * s, 3), spec, b_ref[...], r, s)
-        dx_ref[...] = dx.reshape(r, s, 3)
+        dx_t, dparts, dws = _nof_bwd_tile(
+            x_ref[...], partials, ws, g_ref[...], spec, b_ref[...], r, s)
+        dx_ref[...] = dx_t
         for ref, dp in zip(dpart_refs, dparts):
             ref[...] = dp
 
@@ -953,7 +1025,7 @@ def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
             for ref, dw in zip(dw_refs, dws):
                 ref[...] = ref[...] + dw
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     for _ in range(n_part):
         in_specs.append(pl.BlockSpec((r, 1, spec.width), lambda i: (i, 0, 0),
@@ -963,11 +1035,11 @@ def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
     for shp in ws_shapes:
         in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
                                      memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((3, r * s), lambda i: (0, i),
                                  memory_space=pltpu.VMEM))
 
-    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
-    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    out_shapes = [jax.ShapeDtypeStruct((3, grid * r * s), jnp.float32)]
+    out_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
     for _ in range(n_part):
         out_shapes.append(
@@ -990,33 +1062,37 @@ def _nof_bwd_call(spec: _NofSpec, n: int, s: int, n_ws: int, n_part: int,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _nof_op(spec: _NofSpec, n_part: int, xyz, *arrs):
+def _nof_op(spec: _NofSpec, n_part: int, xyz_t, *arrs):
+    """xyz_t: (3, N, S) transposed samples; returns warped (3, N, S)."""
     partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
     ws = _cast_matrices(ws, spec.dtype_name)
-    n, s = xyz.shape[0], xyz.shape[1]
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     call, n_pad = _nof_fwd_call(spec, n, s, len(ws), n_part,
                                 tuple(w.shape for w in ws), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
-    args = [_pad_rays(xyz, n_pad)] + [_pad_rays(p, n_pad) for p in partials]
+    args = ([_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
+            + [_pad_rays(p, n_pad) for p in partials])
     out = call(*args, b_mat, *ws)
-    return out[:n] if n_pad else out
+    return out[:, :n * s].reshape(3, n, s)
 
 
-def _nof_op_fwd(spec, n_part, xyz, *arrs):
-    return _nof_op(spec, n_part, xyz, *arrs), (xyz, arrs)
+def _nof_op_fwd(spec, n_part, xyz_t, *arrs):
+    return _nof_op(spec, n_part, xyz_t, *arrs), (xyz_t, arrs)
 
 
 def _nof_op_bwd(spec, n_part, res, g):
-    xyz, arrs = res
+    xyz_t, arrs = res
     partials, ws = list(arrs[:n_part]), list(arrs[n_part:])
     ws_k = _cast_matrices(ws, spec.dtype_name)  # kernel operands only
-    n, s = xyz.shape[0], xyz.shape[1]
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     call, n_pad = _nof_bwd_call(spec, n, s, len(ws_k), n_part,
                                 tuple(w.shape for w in ws_k), _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.kc // 3, spec.logscale))
-    args = [_pad_rays(xyz, n_pad)] + [_pad_rays(p, n_pad) for p in partials]
-    outs = call(*args, b_mat, *ws_k, _pad_rays(g, n_pad))
-    dx = outs[0][:n]
+    args = ([_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
+            + [_pad_rays(p, n_pad) for p in partials])
+    outs = call(*args, b_mat, *ws_k,
+                _pad_t(g.reshape(3, n * s), n_pad * s))
+    dx = outs[0][:, :n * s].reshape(3, n, s)
     dparts = tuple(outs[1 + i][:n] for i in range(n_part))
     dws = tuple(d.astype(w.dtype)
                 for d, w in zip(outs[1 + n_part:], ws))
@@ -1059,13 +1135,13 @@ def _chain_stages(spec: _ChainSpec):
 def _chain_fwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
                     n_sets: int, ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
-    r = _pick_r(n, s, _FWD_ROWS)
+    r = _pick_r_t(n, s, _FWD_ROWS)
     grid = pl.cdiv(n, r)
     w = spec.nof.width
     n_out = 1 + int(spec.chain_local) + int(spec.chain_global)
 
     def kernel(*refs):
-        x = refs[0][...].reshape(r * s, 3)
+        x_t = refs[0][...]                           # (3, r*s)
         sets = []
         for k in range(n_sets):
             sets.append([jnp.broadcast_to(
@@ -1080,21 +1156,21 @@ def _chain_fwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
 
         o = 0
         cano = None
-        cur = x
+        cur = x_t
         for si, (net, ps) in enumerate(_chain_stages(spec)):
             cur, _ = _nof_tile(cur, sets[ps], ws_by[net], spec.nof, b_ref)
             if si == 0:
                 cano = cur
-                outs[o][...] = cur.reshape(r, s, 3)
+                outs[o][...] = cur
                 o += 1
             elif spec.chain_local and si == 1:
-                outs[o][...] = cur.reshape(r, s, 3)  # recon
+                outs[o][...] = cur                    # recon
                 o += 1
                 cur = cano                            # global chain restarts
         if spec.chain_global:
-            outs[o][...] = cur.reshape(r, s, 3)       # chain_recon
+            outs[o][...] = cur                        # chain_recon
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     for _ in range(n_sets * n_pe):
         in_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
@@ -1105,9 +1181,9 @@ def _chain_fwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
         in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
                                      memory_space=pltpu.VMEM))
 
-    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    out_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                               memory_space=pltpu.VMEM)] * n_out
-    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3),
+    out_shapes = [jax.ShapeDtypeStruct((3, grid * r * s),
                                        jnp.float32)] * n_out
     return pl.pallas_call(
         kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
@@ -1121,13 +1197,13 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
     b_mat = _freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
     # the chain backward holds 5 stage inputs + a per-warp VJP footprint:
     # no width multiplier (1024 rows measured 21.8M scoped VMEM, OOM)
-    r = _pick_r(n, s, _BWD_ROWS)
+    r = _pick_r_t(n, s, _BWD_ROWS)
     grid = pl.cdiv(n, r)
     w = spec.nof.width
     n_out = 1 + int(spec.chain_local) + int(spec.chain_global)
 
     def kernel(*refs):
-        x = refs[0][...].reshape(r * s, 3)
+        x_t = refs[0][...]                           # (3, r*s)
         sets = []
         for k in range(n_sets):
             sets.append([jnp.broadcast_to(
@@ -1138,7 +1214,7 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
         ws_bw = [refs[i + 1 + k][...] for k in range(n_ws)]
         ws_fw = [refs[i + 1 + n_ws + k][...] for k in range(n_ws)]
         i = i + 1 + 2 * n_ws
-        gs = [refs[i + k][...].reshape(r * s, 3) for k in range(n_out)]
+        gs = [refs[i + k][...] for k in range(n_out)]  # (3, r*s) each
         outs = refs[i + n_out:]
         ws_by = {"bw": ws_bw, "fw": ws_fw}
 
@@ -1148,7 +1224,7 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
         stages = _chain_stages(spec)
         inputs, residuals = [], []
         cano = None
-        cur = x
+        cur = x_t
         for si, (net, ps) in enumerate(stages):
             inputs.append(cur)
             cur, res_si = _nof_tile(cur, sets[ps], ws_by[net], spec.nof,
@@ -1188,9 +1264,9 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
             d_cano = d_cano + warp_vjp(glob0, d_chained)
         if spec.chain_local:
             d_cano = d_cano + warp_vjp(local_i, g_recon)
-        dx = warp_vjp(0, d_cano)
+        dx_t = warp_vjp(0, d_cano)
 
-        outs[0][...] = dx.reshape(r, s, 3)
+        outs[0][...] = dx_t
         o = 1
         for k in range(n_sets):
             for j in range(n_pe):
@@ -1213,7 +1289,7 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
                     outs[oo][...] = outs[oo][...] + dw
                     oo += 1
 
-    in_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    in_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     for _ in range(n_sets * n_pe):
         in_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
@@ -1224,12 +1300,12 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
         in_specs.append(pl.BlockSpec(shp, (lambda i: (0, 0)),
                                      memory_space=pltpu.VMEM))
     for _ in range(n_out):
-        in_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((3, r * s), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
 
-    out_specs = [pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+    out_specs = [pl.BlockSpec((3, r * s), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((3, grid * r * s), jnp.float32)]
     for _ in range(n_sets * n_pe):
         out_specs.append(pl.BlockSpec((r, 1, w), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
@@ -1246,8 +1322,10 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _chain_op(spec: _ChainSpec, n_pe: int, n_sets: int, xyz, *arrs):
-    n, s = xyz.shape[0], xyz.shape[1]
+def _chain_op(spec: _ChainSpec, n_pe: int, n_sets: int, xyz_t, *arrs):
+    """xyz_t: (3, N, S); returns (cano, recon?, chain_recon?) as (3, N, S)
+    each — transposed end-to-end (see _nof_tile)."""
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     n_parts = n_sets * n_pe
     n_ws = (len(arrs) - n_parts) // 2
     ws_cast = _cast_matrices(arrs[n_parts:], spec.nof.dtype_name)
@@ -1255,20 +1333,20 @@ def _chain_op(spec: _ChainSpec, n_pe: int, n_sets: int, xyz, *arrs):
     call, n_pad = _chain_fwd_call(spec, n, s, n_ws, n_pe, n_sets, ws_shapes,
                                   _interpret())
     b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
-    args = ([_pad_rays(xyz, n_pad)]
+    args = ([_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
             + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
             + [b_mat] + ws_cast)
     outs = call(*args)
-    return tuple(o[:n] for o in outs)
+    return tuple(o[:, :n * s].reshape(3, n, s) for o in outs)
 
 
-def _chain_op_fwd(spec, n_pe, n_sets, xyz, *arrs):
-    return _chain_op(spec, n_pe, n_sets, xyz, *arrs), (xyz, arrs)
+def _chain_op_fwd(spec, n_pe, n_sets, xyz_t, *arrs):
+    return _chain_op(spec, n_pe, n_sets, xyz_t, *arrs), (xyz_t, arrs)
 
 
 def _chain_op_bwd(spec, n_pe, n_sets, res, gs):
-    xyz, arrs = res
-    n, s = xyz.shape[0], xyz.shape[1]
+    xyz_t, arrs = res
+    n, s = xyz_t.shape[1], xyz_t.shape[2]
     n_parts = n_sets * n_pe
     n_ws = (len(arrs) - n_parts) // 2
     ws_cast = _cast_matrices(arrs[n_parts:], spec.nof.dtype_name)
@@ -1277,12 +1355,12 @@ def _chain_op_bwd(spec, n_pe, n_sets, res, gs):
                                   _interpret())
     # cotangent dtypes follow the ORIGINAL primals (arrs), not ws_cast
     b_mat = jnp.asarray(_freq_matrix(spec.nof.kc // 3, spec.nof.logscale))
-    args = ([_pad_rays(xyz, n_pad)]
+    args = ([_pad_t(xyz_t.reshape(3, n * s), n_pad * s)]
             + [_pad_rays(p, n_pad) for p in arrs[:n_parts]]
             + [b_mat] + ws_cast
-            + [_pad_rays(g, n_pad) for g in gs])
+            + [_pad_t(g.reshape(3, n * s), n_pad * s) for g in gs])
     outs = call(*args)
-    dx = outs[0][:n]
+    dx = outs[0][:, :n * s].reshape(3, n, s)
     dparts = tuple(outs[1 + i][:n] for i in range(n_parts))
     dws = tuple(d.astype(a.dtype)
                 for d, a in zip(outs[1 + n_parts:], arrs[n_parts:]))
@@ -1297,13 +1375,30 @@ def nof_chain_rays(params: dict, cfg: NoFConfig, n_freqs: int,
                    ind_emb: jnp.ndarray, chained_emb,
                    chain_local: bool, chain_global: bool,
                    compute_dtype=None):
-    """Run the full training NoF warp chain in one fused kernel.
+    """Row-major adapter over :func:`nof_chain_rays_t` — xyz (N, S, 3) in,
+    (N, S, 3) outs. The fused train path uses the transposed variant
+    directly so the warp tensors never take the lane-padded layout."""
+    outs = nof_chain_rays_t(params, cfg, n_freqs, logscale, anneal,
+                            jnp.moveaxis(xyz, -1, 0), ind_emb, chained_emb,
+                            chain_local, chain_global, compute_dtype)
+    return tuple(jnp.moveaxis(o, 0, -1) if o is not None else None
+                 for o in outs)
+
+
+def nof_chain_rays_t(params: dict, cfg: NoFConfig, n_freqs: int,
+                     logscale: bool, anneal, xyz_t: jnp.ndarray,
+                     ind_emb: jnp.ndarray, chained_emb,
+                     chain_local: bool, chain_global: bool,
+                     compute_dtype=None):
+    """Run the full training NoF warp chain in one fused kernel,
+    TRANSPOSED xyz I/O (components on sublanes — no 3->128 lane padding
+    anywhere in the chain's HBM traffic).
 
     Args:
-      xyz: (N, S, 3); ind_emb / chained_emb: (N, E) per-ray embedded frame
-        indices (chained_emb only needed when chain_global).
+      xyz_t: (3, N, S); ind_emb / chained_emb: (N, E) per-ray embedded
+        frame indices (chained_emb only needed when chain_global).
 
-    Returns (cano, recon | None, chain_recon | None), each (N, S, 3).
+    Returns (cano, recon | None, chain_recon | None), each (3, N, S).
     """
     dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     nof_spec = _NofSpec(
@@ -1327,7 +1422,7 @@ def nof_chain_rays(params: dict, cfg: NoFConfig, n_freqs: int,
         sets += [p_fw_ch, p_bw_ch]
     n_pe = len(p_bw_ind)
     parts = [p[:, None, :] for st in sets for p in st]
-    outs = _chain_op(spec, n_pe, len(sets), xyz, *parts, *ws_bw, *ws_fw)
+    outs = _chain_op(spec, n_pe, len(sets), xyz_t, *parts, *ws_bw, *ws_fw)
     cano = outs[0]
     recon = outs[1] if chain_local else None
     chain_recon = outs[-1] if chain_global else None
@@ -1365,7 +1460,10 @@ def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
         od = refs[0][...]                       # (R, 1, 6)
         z = refs[1][...]                        # (R, S)
         xyz3 = od[:, :, 0:3] + od[:, :, 3:6] * z[:, :, None]
-        x = xyz3.reshape(r * s, 3)
+        # the tile fns take TRANSPOSED xyz (components on sublanes); one
+        # in-kernel relayout here, then warp -> NeRF flows transposed with
+        # no further transposes (the quat head and PE want it that way)
+        x = xyz3.reshape(r * s, 3).T            # (3, r*s)
         i = 2
         if has_nof:
             w = spec.nof.width
@@ -1386,11 +1484,11 @@ def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
         nerf_bref = refs[i][...]
         i += 1
         nerf_ws = [refs[i + k][...] for k in range(n_nerf_ws)]
-        (rgb, sigma_row), _ = _nerf_tile(x, p_e, nerf_ws, spec.nerf,
-                                         nerf_bref, rs=(r, s))
+        (rgb_t, sigma_row), _ = _nerf_tile(x, p_e, nerf_ws, spec.nerf,
+                                           nerf_bref, rs=(r, s))
         refs[i + n_nerf_ws][...] = sigma_row                # (1, r*s)
         if not spec.nerf.sigma_only:
-            refs[i + n_nerf_ws + 1][...] = rgb.reshape(r, s, 3)
+            refs[i + n_nerf_ws + 1][...] = rgb_t            # (3, r*s)
 
     in_specs = [pl.BlockSpec((r, 1, 6), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1421,10 +1519,10 @@ def _pass_call(spec: _PassSpec, n: int, s: int, n_nof_ws: int, n_part: int,
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((1, grid * r * s), jnp.float32)]
     if not spec.nerf.sigma_only:
-        out_specs.append(pl.BlockSpec((r, s, 3), lambda i: (i, 0, 0),
+        out_specs.append(pl.BlockSpec((3, r * s), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((grid * r, s, 3), jnp.float32))
+            jax.ShapeDtypeStruct((3, grid * r * s), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1450,8 +1548,9 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
       extra_emb: (N, E) per-ray NeRF extra embedding (None if sigma_only or
         extra_feat_type none); ind_emb: (N, E') per-ray NoF frame embedding.
 
-    Returns ``(sigma (N, S), rgb (N, S, 3) | None)`` fp32 — sigma as a
-    dense lane-efficient map (no (N, S, 4) packing for XLA to slice apart).
+    Returns ``(sigma (N, S), rgb_t (3, N, S) | None)`` fp32 — both in
+    dense lane-efficient layouts (no (N, S, 3/4) lane padding for XLA to
+    relayout).
     """
     has_extra = (extra_emb is not None and not sigma_only
                  and nerf_cfg.extra_feat_type != "none")
@@ -1495,14 +1594,16 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
     args += nerf_ws
     outs = call(*args)
     sigma = outs[0].reshape(-1, s)[:n]   # (1, N_pad*S) row -> (N, S)
-    rgb = None if sigma_only else outs[1][:n]
-    return sigma, rgb
+    rgb_t = (None if sigma_only
+             else outs[1][:, :n * s].reshape(3, n, s))
+    return sigma, rgb_t
 
 
 def nof_fused_rays(params: dict, cfg: NoFConfig, n_freqs: int, logscale: bool,
                    anneal: jnp.ndarray | None, xyz: jnp.ndarray,
                    ind_emb: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """Fused NoF warp over whole rays.
+    """Fused NoF warp over whole rays (row-major adapter over the
+    transposed kernel).
 
     Args:
       xyz: (N, S, 3) sample positions.
@@ -1533,4 +1634,5 @@ def nof_fused_rays(params: dict, cfg: NoFConfig, n_freqs: int, logscale: bool,
         dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         logscale=logscale)
     parts = [p[:, None, :] for p in partials]
-    return _nof_op(spec, len(parts), xyz, *parts, *ws)
+    out_t = _nof_op(spec, len(parts), jnp.moveaxis(xyz, -1, 0), *parts, *ws)
+    return jnp.moveaxis(out_t, 0, -1)

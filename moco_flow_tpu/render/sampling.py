@@ -275,3 +275,20 @@ def merge_cano_by_z(z_a: jnp.ndarray, z_b: jnp.ndarray,
     z_all, sorted_chans = _sorted_permute(keys, chans)
     cano = jnp.stack(sorted_chans, axis=-1)
     return z_all, cano, pos
+
+
+def merge_cano_by_z_t(z_a: jnp.ndarray, z_b: jnp.ndarray,
+                      cano_a_t: jnp.ndarray, cano_b_t: jnp.ndarray):
+    """:func:`merge_cano_by_z` for TRANSPOSED payloads: ``cano_*_t`` are
+    ``(3, N, S*)`` (the fused kernels' layout), returned merged as
+    ``(3, N, Sa+Sb)``. The sort channels are leading-axis rows — no
+    lane-padded (N, S, 3) slice/stack at all."""
+    keys = jnp.concatenate([z_a, z_b], axis=-1)
+    n, s = keys.shape
+    iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (n, s))
+    pos = jax.lax.sort((keys, iota), dimension=-1, is_stable=True,
+                       num_keys=1)[1]
+    cat = jnp.concatenate([cano_a_t, cano_b_t], axis=2)
+    chans = tuple(cat[c] for c in range(cat.shape[0]))
+    z_all, sorted_chans = _sorted_permute(keys, chans)
+    return z_all, jnp.stack(sorted_chans, axis=0), pos

@@ -26,8 +26,9 @@ from ..nn.embedding import posenc
 from ..nn.losses import masked_mean
 from ..nn.nerf import NeRFConfig, nerf_apply, nerf_apply_perray_extra, nerf_sigma
 from ..nn.nof import NoFConfig, nof_apply, nof_apply_split
-from .sampling import (compact_fine_samples, merge_cano_by_z, sample_pdf,
-                       stratified_zvals, unsort_by_pos)
+from .sampling import (compact_fine_samples, merge_cano_by_z,
+                       merge_cano_by_z_t, sample_pdf, stratified_zvals,
+                       unsort_by_pos)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -263,13 +264,19 @@ def composite(sigmas: jnp.ndarray, z_vals: jnp.ndarray, dir_norm: jnp.ndarray,
 
 
 def _composite_tail(rgbs, sigmas, z_vals, dir_norm, noise,
-                    rcfg: RenderConfig, background, deltas=None):
+                    rcfg: RenderConfig, background, deltas=None,
+                    transposed_rgb: bool = False):
     """Shared per-pass epilogue: quadrature + weighted rgb/depth +
     background blend (ref models/rendering.py:176-191). One definition for
-    the XLA, fused and test-time paths so they cannot diverge."""
+    the XLA, fused and test-time paths so they cannot diverge.
+    ``transposed_rgb``: rgbs is (3, N, S) (the fused kernels' lane-efficient
+    layout) instead of (N, S, 3); only the weighted sum differs."""
     alphas, weights = composite(sigmas, z_vals, dir_norm, noise,
                                 rcfg.activation, deltas=deltas)
-    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    if transposed_rgb:
+        rgb = jnp.sum(weights[None] * rgbs, axis=-1).T     # (N, 3)
+    else:
+        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
     depth = jnp.sum(weights * z_vals, axis=-1)
     if background is not None:
         rgb = rgb + background * (1.0 - jnp.sum(weights, axis=-1,
@@ -282,14 +289,22 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
                    direction: jnp.ndarray, z_vals: jnp.ndarray,
                    key: jax.Array | None, rcfg: RenderConfig,
                    background: jnp.ndarray | None = None,
-                   weights_only: bool = False):
+                   weights_only: bool = False, transposed: bool = False):
     """Evaluate a NeRF on all samples of a ray batch and composite
     (ref models/rendering.py:86-192).
+
+    ``transposed``: xyz arrives as (3, N, S) — the fused train path keeps
+    warp/sample tensors transposed end-to-end so nothing lane-pads 3->128;
+    only meaningful with the fused kernels (other impls transpose back).
 
     Returns ``(rgb, depth, weights, alphas)``; rgb/depth are ``None`` when
     ``weights_only``.
     """
-    n, s = xyz.shape[0], xyz.shape[1]
+    if transposed and not rcfg.nerf_fused:
+        xyz = jnp.moveaxis(xyz, 0, -1)
+        transposed = False
+    n, s = (xyz.shape[1], xyz.shape[2]) if transposed else \
+        (xyz.shape[0], xyz.shape[1])
     dir_norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)  # (N, 1)
 
     noise = None
@@ -300,7 +315,7 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
         assert nerf_cfg.encoding == "pe", \
             "hashgrid encoding has no fused-kernel path (factory.render_config " \
             "should have rejected mlp_impl=fused)"
-        from ..ops.megakernel import nerf_fused_rays
+        from ..ops.megakernel import nerf_fused_rays_t
         if weights_only or nerf_cfg.extra_feat_type == "none":
             extra = None
         elif nerf_cfg.extra_feat_type == "ind":
@@ -308,17 +323,18 @@ def nerf_inference(params: dict, nerf_cfg: NeRFConfig, statics: ModelStatics,
         else:
             extra = embed_padded(direction, statics.nerf_dir,
                                  nerf_cfg.extra_feat_dim)
-        out = nerf_fused_rays(params, nerf_cfg, statics.nerf_xyz.n_freqs,
-                              statics.nerf_xyz.logscale,
-                              anneal.get("nerf_xyz"), xyz, extra,
-                              sigma_only=weights_only,
-                              compute_dtype=rcfg.dtype)
+        xyz_t = xyz if transposed else jnp.moveaxis(xyz, -1, 0)
+        out_t = nerf_fused_rays_t(params, nerf_cfg, statics.nerf_xyz.n_freqs,
+                                  statics.nerf_xyz.logscale,
+                                  anneal.get("nerf_xyz"), xyz_t, extra,
+                                  sigma_only=weights_only,
+                                  compute_dtype=rcfg.dtype)
         if weights_only:
-            alphas, weights = composite(out[..., 0], z_vals, dir_norm, noise,
+            alphas, weights = composite(out_t[0], z_vals, dir_norm, noise,
                                         rcfg.activation)
             return None, None, weights, alphas
-        return _composite_tail(out[..., :3], out[..., 3], z_vals, dir_norm,
-                               noise, rcfg, background)
+        return _composite_tail(out_t[0:3], out_t[3], z_vals, dir_norm,
+                               noise, rcfg, background, transposed_rgb=True)
 
     flat = xyz.reshape(-1, 3)
     x_emb = encode_nerf_xyz(params, nerf_cfg, statics, flat, anneal)
@@ -393,28 +409,30 @@ def _fused_test_pass(params: dict, nerf_key: str, statics: ModelStatics,
                                     rcfg.activation, deltas=deltas)
         return None, None, weights, alphas
     return _composite_tail(rgbs, sigmas, z_vals, dir_norm, None, rcfg,
-                           background, deltas=deltas)
+                           background, deltas=deltas, transposed_rgb=True)
 
 
 def _consensus(disp_src: jnp.ndarray, disp_rec: jnp.ndarray,
-               alphas: jnp.ndarray) -> jnp.ndarray:
+               alphas: jnp.ndarray, xyz_axis: int = -1) -> jnp.ndarray:
     """Masked-mean consensus disparity scalar (ref models/rendering.py:304-314:
     per-sample mean |src - recon| over xyz, masked by alpha>=0.01, then meaned
-    by the trainer)."""
-    per_sample = jnp.mean(jnp.abs(disp_src - disp_rec), axis=-1)  # (N, S)
+    by the trainer). ``xyz_axis``: -1 for (N, S, 3) tensors, 0 for the fused
+    path's transposed (3, N, S) layout."""
+    per_sample = jnp.mean(jnp.abs(disp_src - disp_rec), axis=xyz_axis)
     return masked_mean(per_sample, alphas >= 0.01)
 
 
-def _consensus_parts(parts) -> jnp.ndarray:
+def _consensus_parts(parts, xyz_axis: int = -1) -> jnp.ndarray:
     """:func:`_consensus` over the concatenation of ``parts`` (each
     ``(disp_src, disp_rec, alphas)``) WITHOUT concatenating: masked means
     decompose into summed numerators/denominators, so the fine pass's
     consensus can run on its coarse-subset and new-sample halves in concat
-    order — no sorted (N, S, 3) payloads needed (see merge_cano_by_z)."""
+    order — no sorted (N, S, 3) payloads needed (see merge_cano_by_z).
+    ``xyz_axis`` as in :func:`_consensus`."""
     num = den = tot = 0.0
     cnt = 0
     for src, rec, alphas in parts:
-        per = jnp.mean(jnp.abs(src - rec), axis=-1)
+        per = jnp.mean(jnp.abs(src - rec), axis=xyz_axis)
         m = (alphas >= 0.01).astype(per.dtype)
         num = num + jnp.sum(per * m)
         den = den + jnp.sum(m)
@@ -510,24 +528,39 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
             result["opacity_fine"] = jnp.sum(weights_f, axis=1)
         return result
 
-    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    # TRANSPOSED tensor flow: with the fully fused kernels, xyz / warp /
+    # rgb tensors live as (3, N, S) (components on sublanes) from sampling
+    # through warping, merging and NeRF eval — the row-major (N, S, 3)
+    # layout lane-pads 3 -> 128 on TPU, taxing every HBM touch and
+    # elementwise op on the way (PERF.md round 3: ~7 ms of relayout glue
+    # plus ~2 GB/step of 42x-padded kernel DMA at the bench shape)
+    t_mode = use_nof and rcfg.nof_fused and rcfg.nerf_fused
+    xyz_axis = 0 if t_mode else -1
+    if t_mode:
+        o_t, d_t = rays_o.T, rays_d.T                        # (3, N)
+        xyz_coarse = o_t[:, :, None] + d_t[:, :, None] * z_vals[None]
+    else:
+        xyz_coarse = (rays_o[:, None, :]
+                      + rays_d[:, None, :] * z_vals[..., None])
 
     def warp_stack(xyz_sampled):
         """bw warp (+ local/global chains) for one sample set
-        (ref models/rendering.py:270-282,335-344)."""
+        (ref models/rendering.py:270-282,335-344). Layout follows
+        ``t_mode``: (3, N, S) tensors in and out when transposed."""
         out = {}
         if (rcfg.nof_fused and not rcfg.test_time
                 and (rcfg.chain_local or rcfg.chain_global)):
             # whole chain (up to 5 NoF evals) in ONE kernel: intermediates
             # stay in VMEM instead of 4 lane-padded HBM round trips
-            from ..ops.megakernel import nof_chain_rays
+            from ..ops.megakernel import nof_chain_rays, nof_chain_rays_t
             cfg = statics.nof
             ind_emb = embed_padded(img_ind, statics.nof_ind,
                                    cfg.extra_feat_dim)
             ch_emb = (embed_padded(chained_ind, statics.nof_ind,
                                    cfg.extra_feat_dim)
                       if rcfg.chain_global else None)
-            cano, recon, chain_recon = nof_chain_rays(
+            chain_fn = nof_chain_rays_t if t_mode else nof_chain_rays
+            cano, recon, chain_recon = chain_fn(
                 params, cfg, statics.nof_xyz.n_freqs,
                 statics.nof_xyz.logscale, anneal.get("nof_xyz"),
                 xyz_sampled, ind_emb, ch_emb, rcfg.chain_local,
@@ -538,7 +571,8 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
             if chain_recon is not None:
                 out["chain_recon"] = chain_recon
             return out
-        cano = nof_warp(params["bw_NoF"], statics, anneal, xyz_sampled,
+        xyz_rm = jnp.moveaxis(xyz_sampled, 0, -1) if t_mode else xyz_sampled
+        cano = nof_warp(params["bw_NoF"], statics, anneal, xyz_rm,
                         img_ind, rcfg)
         out["cano"] = cano
         if rcfg.chain_local and not rcfg.test_time:
@@ -551,6 +585,8 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
                                     chained_ind, rcfg)
             out["chain_recon"] = nof_warp(params["fw_NoF"], statics, anneal,
                                           chained_cano, img_ind, rcfg)
+        if t_mode:
+            out = {k: jnp.moveaxis(v, -1, 0) for k, v in out.items()}
         return out
 
     if use_nof:
@@ -565,7 +601,7 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
     rgb_c, depth_c, weights_c, alphas_c = nerf_inference(
         params["coarse_NeRF"], statics.coarse, statics, anneal, coarse_input,
         img_ind, rays_d, z_vals, k_noise_c, rcfg, background=background,
-        weights_only=coarse_weights_only)
+        weights_only=coarse_weights_only, transposed=t_mode)
     result["opacity_coarse"] = jnp.sum(weights_c, axis=1)
     if not coarse_weights_only:
         result["rgb_coarse"] = rgb_c
@@ -574,10 +610,11 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
     if use_nof and not rcfg.test_time:
         if rcfg.chain_local:
             result["nof_local_disp_coarse"] = _consensus(
-                xyz_coarse, warped_c["recon"], alphas_c)
+                xyz_coarse, warped_c["recon"], alphas_c, xyz_axis=xyz_axis)
         if rcfg.chain_global:
             result["nof_global_disp_coarse"] = _consensus(
-                xyz_coarse, warped_c["chain_recon"], alphas_c)
+                xyz_coarse, warped_c["chain_recon"], alphas_c,
+                xyz_axis=xyz_axis)
 
     if rcfg.n_importance > 0:
         z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
@@ -594,20 +631,27 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
             # largest train-step cost (PERF.md round-3 profile). The
             # reference re-warps the whole union
             # (models/rendering.py:316-330).
-            xyz_new = (rays_o[:, None, :]
-                       + rays_d[:, None, :] * z_fine[..., None])
+            if t_mode:
+                xyz_new = o_t[:, :, None] + d_t[:, :, None] * z_fine[None]
+            else:
+                xyz_new = (rays_o[:, None, :]
+                           + rays_d[:, None, :] * z_fine[..., None])
             warped_new = warp_stack(xyz_new)
             # sort ONLY cano (the fine NeRF input); recon/chain_recon feed
             # order-free consensus means, computed on the concat halves
             # below with inverse-permuted alphas (_consensus_parts)
-            z_all, fine_input, fine_pos = merge_cano_by_z(
+            merge = merge_cano_by_z_t if t_mode else merge_cano_by_z
+            z_all, fine_input, fine_pos = merge(
                 z_vals, z_fine, warped_c["cano"], warped_new["cano"])
             xyz_fine = None  # consensus uses the per-half sample positions
         else:
             z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
                              axis=-1)
-            xyz_fine = (rays_o[:, None, :]
-                        + rays_d[:, None, :] * z_all[..., None])
+            if t_mode:
+                xyz_fine = o_t[:, :, None] + d_t[:, :, None] * z_all[None]
+            else:
+                xyz_fine = (rays_o[:, None, :]
+                            + rays_d[:, None, :] * z_all[..., None])
             if use_nof:
                 warped_f = warp_stack(xyz_fine)
                 fine_input = warped_f["cano"]
@@ -617,7 +661,7 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
         rgb_f, depth_f, weights_f, alphas_f = nerf_inference(
             params["fine_NeRF"], statics.fine or statics.coarse, statics,
             anneal, fine_input, img_ind, rays_d, z_all, k_noise_f, rcfg,
-            background=background, weights_only=False)
+            background=background, weights_only=False, transposed=t_mode)
         result["rgb_fine"] = rgb_f
         result["depth_fine"] = depth_f
         result["opacity_fine"] = jnp.sum(weights_f, axis=1)
@@ -633,17 +677,21 @@ def render_rays(params: dict, statics: ModelStatics, anneal: dict,
                 if rcfg.chain_local:
                     result["nof_local_disp_fine"] = _consensus_parts([
                         (xyz_coarse, warped_c["recon"], a_c),
-                        (xyz_new, warped_new["recon"], a_n)])
+                        (xyz_new, warped_new["recon"], a_n)],
+                        xyz_axis=xyz_axis)
                 if rcfg.chain_global:
                     result["nof_global_disp_fine"] = _consensus_parts([
                         (xyz_coarse, warped_c["chain_recon"], a_c),
-                        (xyz_new, warped_new["chain_recon"], a_n)])
+                        (xyz_new, warped_new["chain_recon"], a_n)],
+                        xyz_axis=xyz_axis)
             else:
                 if rcfg.chain_local:
                     result["nof_local_disp_fine"] = _consensus(
-                        xyz_fine, warped_f["recon"], alphas_f)
+                        xyz_fine, warped_f["recon"], alphas_f,
+                        xyz_axis=xyz_axis)
                 if rcfg.chain_global:
                     result["nof_global_disp_fine"] = _consensus(
-                        xyz_fine, warped_f["chain_recon"], alphas_f)
+                        xyz_fine, warped_f["chain_recon"], alphas_f,
+                        xyz_axis=xyz_axis)
 
     return result
