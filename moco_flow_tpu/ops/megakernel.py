@@ -57,10 +57,14 @@ from ..nn.nof import NoFConfig
 
 # Row budget per VMEM block (R = rows_budget // S rays per grid step).
 # Bigger blocks amortize per-grid-step overhead but are bounded by VMEM —
-# note the (rows, 3) xyz blocks are lane-padded to 128 in VMEM, so they cost
-# as much as a full 128-wide activation per row.
+# xyz/cotangent blocks are TRANSPOSED (C, rows) — lane-dense, so they cost
+# ~C/128 of a full 128-wide activation per row (they were the VMEM item
+# that capped backward blocks at 512 rows before the transposed layout).
 _FWD_ROWS = 2048
-_BWD_ROWS = 512
+_BWD_ROWS = 1024
+# the chain backward holds 5 stages of residuals: 1024 rows measured
+# 17.32M scoped VMEM (1.32M over), 768 fits
+_CHAIN_BWD_ROWS = 768
 # test-time pass kernels (forward-only, fewer live buffers) take bigger
 # blocks: 3072 rows measured fastest (4096 regresses — VMEM pressure)
 _PASS_ROWS = 3072
@@ -1196,8 +1200,8 @@ def _chain_bwd_call(spec: _ChainSpec, n: int, s: int, n_ws: int, n_pe: int,
                     n_sets: int, ws_shapes: tuple, interpret: bool):
     b_mat = _freq_matrix(spec.nof.kc // 3, spec.nof.logscale)
     # the chain backward holds 5 stage inputs + a per-warp VJP footprint:
-    # no width multiplier (1024 rows measured 21.8M scoped VMEM, OOM)
-    r = _pick_r_t(n, s, _BWD_ROWS)
+    # its own (smaller) row budget
+    r = _pick_r_t(n, s, _CHAIN_BWD_ROWS)
     grid = pl.cdiv(n, r)
     w = spec.nof.width
     n_out = 1 + int(spec.chain_local) + int(spec.chain_global)
