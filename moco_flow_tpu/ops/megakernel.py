@@ -60,7 +60,7 @@ from ..nn.nof import NoFConfig
 # xyz/cotangent blocks are TRANSPOSED (C, rows) — lane-dense, so they cost
 # ~C/128 of a full 128-wide activation per row (they were the VMEM item
 # that capped backward blocks at 512 rows before the transposed layout).
-_FWD_ROWS = 2048
+_FWD_ROWS = 4096
 _BWD_ROWS = 1024
 # the chain backward holds 5 stages of residuals: 1024 rows measured
 # 17.32M scoped VMEM (1.32M over), 768 fits
