@@ -43,6 +43,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -60,14 +61,17 @@ from ..nn.nof import NoFConfig
 # xyz/cotangent blocks are TRANSPOSED (C, rows) — lane-dense, so they cost
 # ~C/128 of a full 128-wide activation per row (they were the VMEM item
 # that capped backward blocks at 512 rows before the transposed layout).
-_FWD_ROWS = 4096
-_BWD_ROWS = 1024
+_FWD_ROWS = int(os.environ.get("MOCO_FWD_ROWS", 4096))
+_BWD_ROWS = int(os.environ.get("MOCO_BWD_ROWS", 1024))
 # the chain backward holds 5 stages of residuals: 1024 rows measured
 # 17.32M scoped VMEM (1.32M over), 768 fits
-_CHAIN_BWD_ROWS = 768
+_CHAIN_BWD_ROWS = int(os.environ.get("MOCO_CHAIN_BWD_ROWS", 768))
 # test-time pass kernels (forward-only, fewer live buffers) take bigger
-# blocks: 3072 rows measured fastest (4096 regresses — VMEM pressure)
-_PASS_ROWS = 3072
+# blocks: 3072 rows measured fastest (4096 regresses — VMEM pressure,
+# re-measure after layout changes)
+# (MOCO_*_ROWS env overrides exist for block-size sweeps on the real TPU —
+# the defaults are the measured-fastest values; see PERF.md)
+_PASS_ROWS = int(os.environ.get("MOCO_PASS_ROWS", 3072))
 
 
 def _rows_budget(base: int, width: int) -> int:
