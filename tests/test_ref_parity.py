@@ -481,3 +481,90 @@ def test_render_rays_parity_no_nof(ref, rng):
                       ("depth_fine", 1e-3), ("opacity_fine", 1e-4)):
         np.testing.assert_allclose(np.asarray(got[key]), want[key].numpy(),
                                    atol=atol, rtol=1e-3, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint converter (scripts/convert_ref_ckpt.py)
+# ---------------------------------------------------------------------------
+
+def test_ckpt_converter_roundtrip(ref, rng, tmp_path):
+    """A reference trainer save_dict (.pth, trainer/base.py:289-299) converts
+    to an .npz whose params exactly equal the proven-parity weight mapping,
+    whose clock survives, and whose weights render identically to the torch
+    reference through the full render_rays."""
+    from scripts.convert_ref_ckpt import convert_checkpoint
+    from moco_flow_tpu.render.volume import RenderConfig, render_rays
+    from moco_flow_tpu.train.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
+
+    ref_stack, params, statics = _build_ref_stack(ref)
+    save_dict = {
+        "clock": {"epoch": 3, "minibatch": 5, "step": 777},
+        "coarse_NeRF_net": ref_stack["nerf_models"][0].state_dict(),
+        "fine_NeRF_net": ref_stack["nerf_models"][1].state_dict(),
+        "bw_NoF_net": ref_stack["nof_models"][0].state_dict(),
+        "fw_NoF_net": ref_stack["nof_models"][1].state_dict(),
+        "moco_optimizer": {"state": {}, "param_groups": []},
+        "moco_scheduler": {"last_epoch": 3},
+    }
+    pth = str(tmp_path / "epoch3_iter777.pth")
+    torch.save(save_dict, pth)
+
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    tree, extra, skipped = convert_checkpoint(ckpt)
+    dst = str(tmp_path / "epoch3_iter777")
+    save_checkpoint(dst, tree, extra=extra)
+    loaded, ext = load_checkpoint(dst)
+
+    assert ext["clock"] == {"epoch": 3, "minibatch": 5, "step": 777}
+    assert set(skipped) == {"moco_optimizer", "moco_scheduler"}
+
+    # bit-exact equality with the parity-proven in-memory mapping
+    want_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(loaded["params"])[0]
+    assert len(want_flat) == len(got_flat)
+    for (pw, w), (pg, g) in zip(want_flat, got_flat):
+        assert jax.tree_util.keystr(pw) == jax.tree_util.keystr(pg)
+        np.testing.assert_array_equal(
+            np.asarray(w), np.asarray(g),
+            err_msg=jax.tree_util.keystr(pw))
+
+    # and the converted checkpoint renders identically to the torch model
+    rays, bg = _make_rays(rng)
+    with torch.no_grad():
+        want = ref.rendering.render_rays(
+            torch.from_numpy(rays), torch.from_numpy(bg),
+            chain_local=True, chain_global=True,
+            N_samples=16, N_importance=16, use_disp=False, perturb=0,
+            noise_std=0, nerf_activate_type="relu", test_time=True,
+            **ref_stack)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, perturb=0.0,
+                        noise_std=0.0, use_nof=True, chain_local=True,
+                        chain_global=True, test_time=True)
+    got = render_rays(loaded["params"], statics, {}, jnp.asarray(rays),
+                      jnp.asarray(bg), jax.random.key(0), rcfg)
+    np.testing.assert_allclose(np.asarray(got["rgb_fine"]),
+                               want["rgb_fine"].numpy(), atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_ckpt_converter_cli(ref, tmp_path, monkeypatch, capsys):
+    """The CLI entry converts a .pth and reports skipped torch-only state."""
+    import scripts.convert_ref_ckpt as cli
+
+    torch.manual_seed(11)
+    nerf = ref.nerf.NeRF(D=2, W=16, in_channels_xyz=63, skips=[1],
+                         extra_feat_type="ind", extra_feat_dim=5)
+    pth = str(tmp_path / "epoch1_iter10.pth")
+    torch.save({"clock": {"epoch": 1, "minibatch": 0, "step": 10},
+                "fine_NeRF_net": nerf.state_dict(),
+                "moco_optimizer": {"state": {}}}, pth)
+    dst = str(tmp_path / "converted")
+    monkeypatch.setattr("sys.argv", ["convert_ref_ckpt.py", pth, dst])
+    cli.main()
+    out = capsys.readouterr().out
+    assert "fine_NeRF" in out and "moco_optimizer" in out
+    from moco_flow_tpu.train.checkpoint import load_checkpoint
+    loaded, ext = load_checkpoint(dst)
+    assert ext["clock"]["step"] == 10
+    assert loaded["params"]["fine_NeRF"]["trunk"][0]["w"].shape == (63, 16)
