@@ -147,6 +147,96 @@ def convert_nof(sd: dict, in_channels_xyz: int = 33,
                      "b": _b(sd, "nof_encoding_final")}}
 
 
+def _inv(perm: np.ndarray | None) -> np.ndarray | None:
+    return None if perm is None else np.argsort(perm)
+
+
+def _unpermute_rows(w: np.ndarray, perm: np.ndarray | None,
+                    lo: int, hi: int) -> np.ndarray:
+    return _permute_rows(w, _inv(perm), lo, hi)
+
+
+def reverse_nerf(p: dict, extra_pe_channels: int = 1) -> dict:
+    """Rebuild NeRF param pytree -> reference ``NeRF.state_dict()`` tensor
+    dict (block->interleaved PE rows, (in,out)->(out,in) transpose)."""
+    import torch
+    cx = np.asarray(p["trunk"][0]["w"]).shape[0]
+    width = np.asarray(p["trunk"][0]["w"]).shape[1]
+    perm_xyz = pe_perm(cx, 3)
+    sd = {}
+
+    def put(name, w, b):
+        sd[name + ".weight"] = torch.from_numpy(
+            np.asarray(w, np.float32).T.copy())
+        sd[name + ".bias"] = torch.from_numpy(np.asarray(b, np.float32).copy())
+
+    for i, lin in enumerate(p["trunk"]):
+        w = np.asarray(lin["w"], np.float32)
+        if w.shape[0] in (cx, width + cx):
+            w = _unpermute_rows(w, perm_xyz, 0, cx)
+        put(f"xyz_encoding_{i + 1}.0", w, lin["b"])
+    put("xyz_encoding_final", p["final"]["w"], p["final"]["b"])
+    we = np.asarray(p["extra"]["w"], np.float32)
+    ce = we.shape[0] - width
+    if ce > 0:
+        we = _unpermute_rows(we, pe_perm(ce, extra_pe_channels), width,
+                             width + ce)
+    put("extra_encoding.0", we, p["extra"]["b"])
+    put("sigma", p["sigma"]["w"], p["sigma"]["b"])
+    put("rgb.0", p["rgb"]["w"], p["rgb"]["b"])
+    return sd
+
+
+def reverse_nof(p: dict, in_channels_xyz: int = 33,
+                xyz_pe_channels: int = 3, ind_pe_channels: int = 1) -> dict:
+    """Rebuild NoF param pytree -> reference ``NoF.state_dict()``."""
+    import torch
+    cx = in_channels_xyz
+    total = np.asarray(p["layers"][0]["w"]).shape[0]
+    width = np.asarray(p["layers"][0]["w"]).shape[1]
+    ce = total - cx
+    perm_xyz = pe_perm(cx, xyz_pe_channels)
+    perm_ind = pe_perm(ce, ind_pe_channels) if ce > 0 else None
+    sd = {}
+
+    def put(name, w, b):
+        sd[name + ".weight"] = torch.from_numpy(
+            np.asarray(w, np.float32).T.copy())
+        sd[name + ".bias"] = torch.from_numpy(np.asarray(b, np.float32).copy())
+
+    for i, lin in enumerate(p["layers"]):
+        w = np.asarray(lin["w"], np.float32)
+        if w.shape[0] in (total, width + total):
+            w = _unpermute_rows(w, perm_xyz, 0, cx)
+            w = _unpermute_rows(w, perm_ind, cx, cx + ce)
+        put(f"nof_encoding_{i + 1}.0", w, lin["b"])
+    put("nof_encoding_final", p["head"]["w"], p["head"]["b"])
+    return sd
+
+
+def reverse_checkpoint(tree: dict, extra: dict, extra_pe_channels: int = 1,
+                       nof_in_channels_xyz: int = 33) -> tuple:
+    """Our (tree, extra) -> reference save_dict {name_net: state_dict, clock}
+    loadable by the reference's load_ckpt/load_pretrained_model
+    (trainer/base.py:301-327, trainer_moco_flow.py:47-57)."""
+    params = tree.get("params", tree)
+    out, skipped = {}, []
+    for name, p in params.items():
+        if "NeRF" in name:
+            if "hash" in p:
+                skipped.append(f"{name}.hash")  # no reference counterpart
+                p = {k: v for k, v in p.items() if k != "hash"}
+            out[name + "_net"] = reverse_nerf(p, extra_pe_channels)
+        elif "NoF" in name:
+            out[name + "_net"] = reverse_nof(p, nof_in_channels_xyz)
+        else:
+            skipped.append(name)
+    if "opt_named" in tree:
+        skipped.append("opt_named")   # optax state: not convertible
+    out["clock"] = extra.get("clock", {"epoch": 0, "minibatch": 0, "step": 0})
+    return out, skipped
+
+
 def _strip_module(sd: dict) -> dict:
     """Drop a DDP 'module.' prefix if present (reference saves .module
     state dicts, but be tolerant of raw DDP dumps)."""
@@ -179,9 +269,14 @@ def convert_checkpoint(ckpt: dict, extra_pe_channels: int = 1,
 
 def main() -> None:
     ap = argparse.ArgumentParser(
-        description="Convert a PyTorch reference .pth to .npz + sidecar")
-    ap.add_argument("src", help="reference .pth checkpoint")
-    ap.add_argument("dst", help="output path WITHOUT extension")
+        description="Convert a PyTorch reference .pth to .npz + sidecar "
+                    "(or back with --reverse)")
+    ap.add_argument("src", help="reference .pth checkpoint "
+                                "(--reverse: our .npz path)")
+    ap.add_argument("dst", help="output path WITHOUT extension "
+                                "(--reverse: output .pth path)")
+    ap.add_argument("--reverse", action="store_true",
+                    help="convert OUR .npz checkpoint to a reference .pth")
     ap.add_argument("--extra_pe_channels", type=int, default=1,
                     help="raw channels under the NeRF extra-feature PE "
                          "(1 for 'ind' — the MoCo-Flow configs; 3 for 'dir')")
@@ -206,12 +301,23 @@ def main() -> None:
             args.extra_pe_channels = 3
 
     import torch
-    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
-    tree, extra, skipped = convert_checkpoint(ckpt, args.extra_pe_channels,
-                                              args.nof_in_channels_xyz)
-    save_checkpoint(args.dst, tree, extra=extra)
-    nets = ", ".join(sorted(tree["params"]))
-    print(f"converted [{nets}] + clock -> {args.dst}.npz")
+
+    if args.reverse:
+        from moco_flow_tpu.train.checkpoint import load_checkpoint
+        tree, extra = load_checkpoint(args.src)
+        save_dict, skipped = reverse_checkpoint(
+            tree, extra, args.extra_pe_channels, args.nof_in_channels_xyz)
+        dst = args.dst if args.dst.endswith(".pth") else args.dst + ".pth"
+        torch.save(save_dict, dst)
+        nets = ", ".join(sorted(k for k in save_dict if k.endswith("_net")))
+        print(f"converted [{nets}] + clock -> {dst}")
+    else:
+        ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+        tree, extra, skipped = convert_checkpoint(
+            ckpt, args.extra_pe_channels, args.nof_in_channels_xyz)
+        save_checkpoint(args.dst, tree, extra=extra)
+        nets = ", ".join(sorted(tree["params"]))
+        print(f"converted [{nets}] + clock -> {args.dst}.npz")
     if skipped:
         print(f"skipped (framework-specific, re-initialized on load): "
               f"{', '.join(sorted(skipped))}")

@@ -568,3 +568,64 @@ def test_ckpt_converter_cli(ref, tmp_path, monkeypatch, capsys):
     loaded, ext = load_checkpoint(dst)
     assert ext["clock"]["step"] == 10
     assert loaded["params"]["fine_NeRF"]["trunk"][0]["w"].shape == (63, 16)
+
+
+def test_ckpt_converter_reverse(ref, rng, tmp_path):
+    """--reverse: our checkpoint -> reference .pth. forward(reverse(x)) is
+    tensor-exact, and the reversed state dicts strict-load into the actual
+    reference modules and produce the same render as the rebuild."""
+    from scripts.convert_ref_ckpt import (convert_checkpoint,
+                                          reverse_checkpoint)
+    from moco_flow_tpu.render.volume import RenderConfig, render_rays
+
+    ref_stack, params, statics = _build_ref_stack(ref)
+    save_dict = {
+        "clock": {"epoch": 2, "minibatch": 1, "step": 55},
+        "coarse_NeRF_net": ref_stack["nerf_models"][0].state_dict(),
+        "fine_NeRF_net": ref_stack["nerf_models"][1].state_dict(),
+        "bw_NoF_net": ref_stack["nof_models"][0].state_dict(),
+        "fw_NoF_net": ref_stack["nof_models"][1].state_dict(),
+    }
+    tree, extra, _ = convert_checkpoint(save_dict)
+    back, skipped = reverse_checkpoint(tree, extra)
+
+    assert back["clock"] == save_dict["clock"] and not skipped
+    for net, sd in save_dict.items():
+        if not net.endswith("_net"):
+            continue
+        assert set(back[net]) == set(sd), net
+        for k in sd:
+            np.testing.assert_array_equal(
+                back[net][k].numpy(), sd[k].numpy(), err_msg=f"{net}.{k}")
+
+    # strict-load the reversed dicts into FRESH reference modules and render
+    torch.manual_seed(99)
+    nerf_kw = dict(D=8, W=64, in_channels_xyz=63, skips=[4],
+                   extra_feat_type="ind", extra_feat_dim=5)
+    nof_kw = dict(D=4, W=32, in_channels_xyz=33, skips=[2],
+                  extra_feat_type="ind", extra_feat_dim=33, use_quat=True)
+    fresh = dict(
+        nerf_models=[ref.nerf.NeRF(**nerf_kw), ref.nerf.NeRF(**nerf_kw)],
+        nof_models=[ref.nof.NoF(**nof_kw), ref.nof.NoF(**nof_kw)],
+        nerf_embeddings=ref_stack["nerf_embeddings"],
+        nof_embeddings=ref_stack["nof_embeddings"])
+    fresh["nerf_models"][0].load_state_dict(back["coarse_NeRF_net"])
+    fresh["nerf_models"][1].load_state_dict(back["fine_NeRF_net"])
+    fresh["nof_models"][0].load_state_dict(back["bw_NoF_net"])
+    fresh["nof_models"][1].load_state_dict(back["fw_NoF_net"])
+
+    rays, bg = _make_rays(rng)
+    with torch.no_grad():
+        want = ref.rendering.render_rays(
+            torch.from_numpy(rays), torch.from_numpy(bg),
+            chain_local=True, chain_global=True,
+            N_samples=16, N_importance=16, use_disp=False, perturb=0,
+            noise_std=0, nerf_activate_type="relu", test_time=True, **fresh)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, perturb=0.0,
+                        noise_std=0.0, use_nof=True, chain_local=True,
+                        chain_global=True, test_time=True)
+    got = render_rays(params, statics, {}, jnp.asarray(rays),
+                      jnp.asarray(bg), jax.random.key(0), rcfg)
+    np.testing.assert_allclose(np.asarray(got["rgb_fine"]),
+                               want["rgb_fine"].numpy(), atol=2e-4,
+                               rtol=1e-3)
