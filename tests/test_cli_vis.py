@@ -108,3 +108,51 @@ def test_testpy_dispatch(scene, tmp_path):
     assert t.clock.step >= 1  # checkpoint was found and loaded
     outs = glob.glob(str(tmp_path / "out" / "**" / "*"), recursive=True)
     assert any(p.endswith(".png") for p in outs)
+
+
+def test_testpy_occupancy_dispatch(scene, tmp_path):
+    """test.py --occ_res plumbs into the model config and the occupancy-
+    skipped render matches the exact render within the tau bound."""
+    from moco_flow_tpu.train import get_trainer
+    from test import test as run_test
+    root, smpl = scene
+
+    raw = moco_config(root, str(tmp_path))
+    cfg = Config(raw, mode="train", job_name="trained")
+    trainer = get_trainer(cfg, smpl_data=smpl, mesh=make_mesh(1))
+    trainer.train_func()
+    trainer.clock.tick()
+    trainer.save_ckpt("epoch1_iter1")
+
+    base = dict(
+        mode="test", config=None, resume=None, job_name=None, seed=None,
+        reso=32, render_gt=True, test_json=None,
+        render_training_poses=False, render_spherical_poses=False,
+        spherical_poses_frame=-1, extract_mesh=False, mesh_frame=-1,
+        N_grid=24, sigma_threshold=0.0, render_frame=1, eval_metrics=False,
+        eval_max_frames=1, render_bullet_time=False, bullet_time_frame=0)
+    import copy
+    t_exact = run_test(Config(copy.deepcopy(raw), mode="test",
+                              make_dirs=False),
+                       argparse.Namespace(out_dir=str(tmp_path / "exact"),
+                                          **base), smpl_data=smpl)
+    t_occ = run_test(Config(copy.deepcopy(raw), mode="test",
+                            make_dirs=False),
+                     argparse.Namespace(out_dir=str(tmp_path / "occ"),
+                                        occ_res=8, **base), smpl_data=smpl)
+    assert t_occ.occ_cfg["resolution"] == 8
+    assert t_exact.occ_cfg["resolution"] == 0
+
+    from PIL import Image
+    exact_pngs = sorted(glob.glob(str(tmp_path / "exact" / "**" / "*.png"),
+                                  recursive=True))
+    occ_pngs = sorted(glob.glob(str(tmp_path / "occ" / "**" / "*.png"),
+                                recursive=True))
+    assert exact_pngs and len(exact_pngs) == len(occ_pngs)
+    a = np.asarray(Image.open(exact_pngs[0]), dtype=np.float32) / 255.0
+    b = np.asarray(Image.open(occ_pngs[0]), dtype=np.float32) / 255.0
+    # the strip is [gt | rgb | depth] panels (train/vis.py); compare the
+    # rendered RGB panel only — skipped-empty rays get a sentinel depth by
+    # design (ref trainer_moco_flow.py:226-268), so the depth panel differs
+    w = a.shape[0]
+    assert np.abs(a[:, w:2 * w] - b[:, w:2 * w]).max() <= 0.02
