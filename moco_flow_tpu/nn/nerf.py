@@ -69,7 +69,10 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
     """Parameter pytree for the NeRF MLP."""
     if cfg.extra_feat_type not in ("none", "ind", "dir"):
         raise ValueError(f"extra_feat_type {cfg.extra_feat_type} not supported")
-    keys = jax.random.split(key, cfg.depth + 5)
+    # depth+4 keys exactly as the PE-only model always drew — the hash
+    # table (when present) folds its own key so enabling/disabling the
+    # hash-grid never perturbs seeded PE initializations
+    keys = jax.random.split(key, cfg.depth + 4)
     trunk = []
     for i in range(cfg.depth):
         in_dim = cfg.in_channels_xyz if i == 0 else cfg.width
@@ -85,7 +88,7 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
         "rgb": init_linear(keys[cfg.depth + 3], cfg.width // 2, 3),
     }
     if cfg.encoding == "hashgrid":
-        params["hash"] = init_hashgrid(keys[cfg.depth + 4], cfg.hash)
+        params["hash"] = init_hashgrid(jax.random.fold_in(key, 0x4a5), cfg.hash)
     return params
 
 

@@ -21,13 +21,17 @@ import os
 
 def maybe_init_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> bool:
+                           process_id: int | None = None,
+                           require: bool = False) -> bool:
     """Initialize JAX multi-controller mode if requested.
 
     Explicit arguments win; otherwise falls back to the standard
     environment variables (``JAX_COORDINATOR_ADDRESS`` /
-    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, or the cloud-TPU metadata
-    auto-detection built into ``jax.distributed.initialize``). Returns True
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``); with ``require=True``
+    (the ``train.py --dist`` path) and no explicit addressing, the no-arg
+    ``jax.distributed.initialize()`` runs so the cloud-TPU metadata
+    auto-detection can engage — and any failure RAISES rather than letting
+    N hosts silently train N independent single-host jobs. Returns True
     iff distributed mode was initialized. Must run before the first
     ``jax.devices()`` touch.
     """
@@ -41,7 +45,18 @@ def maybe_init_distributed(coordinator_address: str | None = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        return False  # single-process run
+        if not require:
+            return False  # single-process run
+        try:
+            # cloud-TPU / SLURM / OpenMPI auto-detection inside jax
+            jax.distributed.initialize()
+        except Exception as e:
+            raise RuntimeError(
+                "--dist was requested but no coordinator is configured and "
+                "auto-detection failed; pass --coordinator_address/"
+                "--num_processes/--process_id (or the JAX_* env vars)"
+            ) from e
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

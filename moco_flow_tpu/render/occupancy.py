@@ -27,12 +27,17 @@ Pipeline (all static-shape; nothing here recompiles the render fn):
      fused/XLA render paths and compose with fine_budget/coarse_probe.
 
 Error bound: everything excluded — skipped rays and tightened-away ray
-segments alike — carries a rigorous optical-depth upper bound <= tau_eps
+segments alike — carries an optical-depth upper bound <= tau_eps
 (``occ_tau``, default 1e-3): probes read the 3^3-dilated per-cell max of
 the activated density and integrate it along the ray, so the excluded
-alpha is <= 1 - exp(-tau_eps). Quality is additionally measured against
-exact renders on trained fields in tests/test_occupancy.py and
-scripts/bench_occupancy.py.
+alpha is <= 1 - exp(-tau_eps). Ray segments OUTSIDE the grid cube read a
+MEASURED coarse-lattice bound on the outer region's density
+(``OccupancyGrid.outer_sig``) rather than an assumed zero — a field with
+real density outside the cube therefore degrades to "cannot skip" instead
+of silently dropping visible rays. The whole bound is lattice-empirical
+(supersampled max-pool + dilation resolves the field up to sub-cell
+features); quality is additionally measured against exact renders on
+trained fields in tests/test_occupancy.py and scripts/bench_occupancy.py.
 
 The grid is cheap: 64^3 at 2x supersampling = 2.1M sigma evals, ~2% of one
 1080^2 frame render, amortized over every view of that frame (novel-view
@@ -61,6 +66,14 @@ class OccupancyGrid:
     extent: float
     threshold: float
     sig: np.ndarray | None = None  # (R, R, R) float32, dilated upper bound
+    # activated-sigma bound for probe points OUTSIDE the cube: rays sample
+    # [near, far] segments that can leave [-extent, extent]^3, and a field
+    # is free to hold density there — assuming zero would let a ray be
+    # declared "empty" while passing through visible outside-the-cube
+    # density. build_occupancy_grid MEASURES this on a coarse outer shell;
+    # grids built directly from a mask (tests) keep 0.0 = "the field is
+    # exactly the grid".
+    outer_sig: float = 0.0
 
     def __post_init__(self):
         if self.sig is None:
@@ -101,7 +114,8 @@ def _dilate3d(occ: np.ndarray, steps: int = 1) -> np.ndarray:
 
 def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
                          supersample: int = 2, threshold: float = 5.0,
-                         extent: float = 1.5, dilate: int = 1
+                         extent: float = 1.5, dilate: int = 1,
+                         outer_factor: float = 2.0
                          ) -> OccupancyGrid:
     """Occupancy of sigma(bw_warp(x, frame)) (or canonical sigma for
     frame_idx == -1) over [-extent, extent]^3.
@@ -134,8 +148,31 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     if dilate:
         sig = _dilate3d(sig, dilate)
     occ = sig > threshold
+
+    # measure (never assume) the activated density OUTSIDE the cube on a
+    # coarse lattice over [-outer_factor*extent, ..]^3: ray segments that
+    # leave the cube read this bound instead of a silent zero, so a field
+    # with real outside-the-cube density degrades to "cannot skip" instead
+    # of dropping visible rays. Same lattice-empirical character as the
+    # inner grid (coarser cells: this is a guard, not the tight bound).
+    outer_sig = 0.0
+    if outer_factor > 1.0:
+        s_out = sigma_grid(trainer, frame_idx, n_grid=resolution,
+                           extent=extent * outer_factor, clip_negative=False)
+        if rcfg is not None and rcfg.activation == "softplus":
+            s_out = np.logaddexp(s_out, 0.0)
+        else:
+            s_out = np.maximum(s_out, 0.0)
+        c = np.linspace(-extent * outer_factor, extent * outer_factor,
+                        resolution, dtype=np.float32)
+        inner = ((np.abs(c)[:, None, None] <= extent)
+                 & (np.abs(c)[None, :, None] <= extent)
+                 & (np.abs(c)[None, None, :] <= extent))
+        outer_sig = float(s_out[~inner].max()) if (~inner).any() else 0.0
+
     return OccupancyGrid(occ=np.ascontiguousarray(occ), extent=float(extent),
-                         threshold=float(threshold), sig=sig)
+                         threshold=float(threshold), sig=sig,
+                         outer_sig=outer_sig)
 
 
 def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
@@ -148,13 +185,15 @@ def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
 
 
 def _lookup_sig(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
-    """(...,3) points -> per-cell sigma upper bound (0 outside the grid)."""
+    """(...,3) points -> per-cell sigma upper bound; points outside the
+    cube read ``grid.outer_sig`` (the measured outer-region bound — NOT an
+    assumed zero, see OccupancyGrid.outer_sig)."""
     r = grid.resolution
     ids = np.floor((pts + grid.extent) / grid.cell).astype(np.int64)
     inb = np.all((ids >= 0) & (ids < r), axis=-1)
     ids = np.clip(ids, 0, r - 1)
     return np.where(inb, grid.sig[ids[..., 0], ids[..., 1], ids[..., 2]],
-                    0.0)
+                    np.float32(grid.outer_sig))
 
 
 def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,

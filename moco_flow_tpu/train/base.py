@@ -290,6 +290,19 @@ class BaseTrainer:
         if key is None:
             key = jax.random.key(0)
         n = rays.shape[0]
+        if n == 0:
+            # reachable via render_masked_image when occupancy proves EVERY
+            # ray empty (empty_frac == 1.0): render one well-formed dummy
+            # ray to learn the rcfg-dependent output keys/shapes, return
+            # 0-length slices (callers composite pure background)
+            dummy = np.zeros((1, rays.shape[1]), np.float32)
+            dummy[0, 5] = -1.0   # d = (0, 0, -1)
+            dummy[0, 6], dummy[0, 7] = 1.0, 2.0  # near, far
+            out = self.render_rays_chunked(
+                jnp.asarray(dummy), jnp.ones((1, 3)), rcfg,
+                anneal=anneal, chunk=chunk, key=key)
+            return {k: (v[:0] if getattr(v, "ndim", 0) >= 1 else v)
+                    for k, v in out.items()}
         if self.world_size <= 1:
             fn = self._tile_render_fn(rcfg)
             bg = background if background is not None else jnp.ones((n, 3))
@@ -317,9 +330,19 @@ class BaseTrainer:
                 if v0.ndim >= 1:  # per-ray output
                     flat[k] = (jnp.concatenate([o[k][:r] for r, o in outs])
                                if len(outs) > 1 else v0[:n])
-                else:  # per-chunk scalars (consensus terms): average
-                    flat[k] = (jnp.mean(jnp.stack([o[k] for _, o in outs]))
-                               if len(outs) > 1 else v0)
+                else:
+                    # per-chunk scalars (consensus terms): average weighted
+                    # by REAL ray count so a small tail bucket doesn't get a
+                    # full chunk's vote (the tail's padded duplicate rays
+                    # still enter its own masked mean — an approximation
+                    # documented here; training never takes this path, the
+                    # train step is one unchunked jit)
+                    if len(outs) > 1:
+                        w = jnp.asarray([r for r, _ in outs], jnp.float32)
+                        flat[k] = (jnp.stack([o[k] for _, o in outs])
+                                   * w).sum() / w.sum()
+                    else:
+                        flat[k] = v0
             return flat
         pad = (-n) % chunk
         rays_p = jnp.concatenate(

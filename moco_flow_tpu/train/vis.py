@@ -36,12 +36,20 @@ def colorize_depth(depth: np.ndarray) -> np.ndarray:
 
 
 def save_image(path: str, img: np.ndarray):
+    # multi-host: every process COMPUTES the render (global-mesh programs
+    # must run on all controllers), only process 0 touches the filesystem
+    from ..parallel.multihost import is_main
+    if not is_main():
+        return
     import imageio
     os.makedirs(osp.dirname(path), exist_ok=True)
     imageio.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8))
 
 
 def save_video(path: str, frames: list, fps: int = 16):
+    from ..parallel.multihost import is_main
+    if not is_main():
+        return
     import imageio
     try:
         imageio.mimwrite(path, frames, fps=fps, quality=8)
@@ -259,6 +267,7 @@ def visualize_mesh(trainer, frame_idx: int, n_grid: int = 256,
     out = osp.join(save_path,
                    f"mesh_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
                    f"{name}.obj")
-    os.makedirs(osp.dirname(out), exist_ok=True)
-    export_obj(verts, tris, out)
+    if trainer.is_main:  # sigma grid is a global-mesh compute; write on 0
+        os.makedirs(osp.dirname(out), exist_ok=True)
+        export_obj(verts, tris, out)
     return out

@@ -40,7 +40,7 @@ _SCHEMA = {
               "coarse_to_fine", "N_rand", "N_sampled", "chunk", "N_samples",
               "N_importance", "use_disp", "perturb", "noise_std",
               "nerf_activate_type", "compute_dtype", "mlp_impl", "remat",
-              "fine_budget", "coarse_probe", "hash_grid",
+              "fine_budget", "coarse_probe",
               "share_coarse_warps",
               "occ_res", "occ_threshold", "occ_supersample", "occ_extent",
               "occ_tau",

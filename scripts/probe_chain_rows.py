@@ -35,7 +35,11 @@ def main():
     from moco_flow_tpu.ops import megakernel as mk
     from moco_flow_tpu.render.volume import EmbeddingSpec, embed_padded
 
+    # the chain backward reads _CHAIN_BWD_ROWS (its VMEM budget differs from
+    # the per-op backward's _BWD_ROWS — 5 stages of residuals); set both so
+    # the sweep knob actually reaches the measured kernel
     mk._BWD_ROWS = args.bwd_rows
+    mk._CHAIN_BWD_ROWS = args.bwd_rows
     if args.fwd_rows:
         mk._FWD_ROWS = args.fwd_rows
 

@@ -98,3 +98,26 @@ def test_two_process_mesh(tmp_path):
     lines = {o.strip().splitlines()[-1] for o in outs}
     vals = {l.split("g=")[1] for l in lines}
     assert len(vals) == 1, f"cross-process pmean disagreed: {lines}"
+
+
+def test_dist_without_coordinator_fails_loudly(monkeypatch):
+    """--dist (require=True) with no coordinator configured and failing
+    auto-detection must RAISE — N hosts silently training N independent
+    jobs was the failure mode (each would think it is process 0)."""
+    import pytest
+
+    from moco_flow_tpu.parallel.multihost import maybe_init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+
+    import jax
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: (_ for _ in ()).throw(ValueError("no cluster")))
+    # non-require (plain single-process run): silently skips, returns False
+    assert maybe_init_distributed() is False
+    # require=True (the --dist path): auto-detect fails -> loud error
+    with pytest.raises(RuntimeError, match="--dist"):
+        maybe_init_distributed(require=True)

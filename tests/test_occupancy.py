@@ -177,3 +177,38 @@ def test_trainer_plumbing_and_grid_build(tmp_path):
     # cache invalidation on a train step
     trainer.train_func()
     assert not trainer._occ_grids
+
+    # every-ray-provably-empty frame (the empty_frac == 1.0 outcome):
+    # render_masked_image must composite pure background, not crash on the
+    # 0-ray render (render_rays_chunked n == 0 path)
+    bg = jnp.ones((rays.shape[0], 3)) * 0.5
+    res = trainer.render_masked_image(
+        jnp.asarray(rays), np.zeros((rays.shape[0],), bool), bg,
+        trainer.rcfg_test, anneal=trainer.anneal())
+    typ = "fine" if "rgb_fine" in res else "coarse"
+    np.testing.assert_allclose(np.asarray(res[f"rgb_{typ}"]),
+                               np.asarray(bg), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res[f"depth_{typ}"]),
+                                  np.full((rays.shape[0],), 10.0))
+
+
+def test_outside_cube_density_blocks_skipping():
+    """A field with density OUTSIDE the grid cube (grid.outer_sig > 0) must
+    not declare rays empty or tighten bounds into the outer region — the
+    outer bound is measured, never assumed zero."""
+    res, extent = 12, 1.5
+    occ = np.zeros((res, res, res), bool)     # inner cube: fully empty
+    assume_zero = OccupancyGrid(occ=occ, extent=extent, threshold=5.0)
+    outer = OccupancyGrid(occ=occ, extent=extent, threshold=5.0,
+                          outer_sig=10.0)
+    h = w = 8
+    rays = _camera_rays(h, w, focal=20.0, origin_z=3.0, near=1.0, far=5.0)
+    # sanity: with the field == grid (outer 0), every ray is provably empty
+    _, st0 = tighten_ray_bounds(assume_zero, rays, (h, w))
+    assert st0["empty_frac"] == 1.0
+    # with measured outer density, nothing is provably empty and the
+    # outside-the-cube segments ([near, cube] and [cube, far]) survive
+    out, st = tighten_ray_bounds(outer, rays, (h, w))
+    assert st["empty_frac"] == 0.0
+    np.testing.assert_array_equal(out[:, 6], rays[:, 6])
+    np.testing.assert_array_equal(out[:, 7], rays[:, 7])

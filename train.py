@@ -38,8 +38,11 @@ def train(config: Config, smpl_data=None, mesh=None):
     while clock.step < num_iters:
         metrics = trainer.train_func()
 
-        if val_every and clock.step % val_every == 0 and trainer.is_main:
-            # master-only validation/vis (ref base.py:52-57 @master_process)
+        if val_every and clock.step % val_every == 0:
+            # EVERY process runs the val/vis computes — they are global-mesh
+            # programs, and in multi-controller SPMD all hosts must execute
+            # them; logging/file writes inside are process-0-gated (the
+            # analog of the reference's @master_process, base.py:52-57)
             trainer.val_func()
             trainer.visualize_batch()
         if save_every and clock.step % save_every == 0 and clock.step > 0:
@@ -53,11 +56,12 @@ def train(config: Config, smpl_data=None, mesh=None):
         if clock.minibatch >= epoch_len:
             clock.tock()
 
-    if val_every and trainer.is_main:
+    if val_every:
         # the reference ends with the final checkpoint only (train.py:42-43);
         # a closing visualize_batch is our addition — skip it when validation
         # is disabled (quiet/headless runs), since end-of-run renders cost
-        # minutes of fresh compiles on the tunneled TPU backend
+        # minutes of fresh compiles on the tunneled TPU backend. All
+        # processes compute; writes are process-0-gated inside.
         trainer.visualize_batch()
     trainer.save_ckpt("final")
     return trainer
@@ -98,7 +102,7 @@ def main():
         # the union of all chips
         from moco_flow_tpu.parallel.multihost import maybe_init_distributed
         maybe_init_distributed(ns.coordinator_address, ns.num_processes,
-                               ns.process_id)
+                               ns.process_id, require=ns.dist)
     config = Config.from_args(ns)
     mesh = make_mesh(ns.num_devices) if ns.num_devices else None
     if ns.debug_nans:
