@@ -432,8 +432,24 @@ class BaseTrainer:
         return {"resolution": int(m.get("occ_res", 0)),
                 "threshold": float(m.get("occ_threshold", 5.0)),
                 "supersample": int(m.get("occ_supersample", 2)),
-                "extent": float(m.get("occ_extent", 1.5)),
+                # <= 0 = auto: cover the hull of the frame's ray segments so
+                # no tighten-time probe leaves the grid (the bound then
+                # rests entirely on the measured inner lattice; an explicit
+                # extent that rays escape falls back to the measured
+                # outer_sig bound — sound, but it disables skipping when
+                # the field extrapolates density out there)
+                "extent": float(m.get("occ_extent", 0.0)),
                 "tau": float(m.get("occ_tau", 1e-3))}
+
+    def _occ_auto_extent(self, frame_idx: int) -> float:
+        """Half-width of the cube covering every sample point of the frame's
+        rays: |o + d t| is per-coordinate linear in t, so the segment max
+        is attained at the near/far endpoints."""
+        rays, _ = self.val_dataset.frame_rays(max(int(frame_idx), 0))
+        r = np.asarray(rays)
+        o, d = r[:, 0:3], r[:, 3:6]
+        ends = np.stack([o + d * r[:, 6:7], o + d * r[:, 7:8]])
+        return float(np.abs(ends).max()) * 1.05  # one-cell-ish margin
 
     def occupancy_grid(self, frame_idx: int):
         """Cached per-frame observation-space occupancy grid (canonical for
@@ -442,10 +458,12 @@ class BaseTrainer:
         if key not in self._occ_grids:
             from ..render.occupancy import build_occupancy_grid
             c = self.occ_cfg
+            extent = (c["extent"] if c["extent"] > 0
+                      else self._occ_auto_extent(frame_idx))
             self._occ_grids[key] = build_occupancy_grid(
                 self, frame_idx, resolution=c["resolution"],
                 supersample=c["supersample"], threshold=c["threshold"],
-                extent=c["extent"])
+                extent=extent)
         return self._occ_grids[key]
 
     def tighten_rays(self, rays, frame_idx: int, size=None):
