@@ -159,26 +159,28 @@ def main():
                     help="seconds to wait for backend init before aborting "
                          "(the tunneled TPU backend HANGS instead of "
                          "erroring when the tunnel is down; fail fast with "
-                         "a message instead of wedging the caller)")
+                         "a message instead of wedging the caller). "
+                         "0 disables the watchdog")
     args = ap.parse_args()
 
     # backend-init watchdog: jax backend init on the tunneled TPU can block
     # forever when the pool is unreachable — convert that into a loud,
     # bounded failure (stderr + exit 3; stdout stays clean for the JSON line)
-    import threading
-    backend_up = threading.Event()
+    if args.init_timeout > 0:
+        import threading
+        backend_up = threading.Event()
 
-    def _watchdog():
-        if not backend_up.wait(args.init_timeout):
-            print(f"bench.py: backend init did not complete within "
-                  f"{args.init_timeout}s (TPU tunnel down?) — aborting",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
+        def _watchdog():
+            if not backend_up.wait(args.init_timeout):
+                print(f"bench.py: backend init did not complete within "
+                      f"{args.init_timeout}s (TPU tunnel down?) — aborting",
+                      file=sys.stderr, flush=True)
+                os._exit(3)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
-    import jax
-    jax.devices()
-    backend_up.set()
+        threading.Thread(target=_watchdog, daemon=True).start()
+        import jax
+        jax.devices()
+        backend_up.set()
 
     # keep stdout clean for the single JSON line
     chatter = io.StringIO()

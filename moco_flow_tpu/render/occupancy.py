@@ -70,10 +70,12 @@ class OccupancyGrid:
     # [near, far] segments that can leave [-extent, extent]^3, and a field
     # is free to hold density there — assuming zero would let a ray be
     # declared "empty" while passing through visible outside-the-cube
-    # density. build_occupancy_grid MEASURES this on a coarse outer shell;
-    # grids built directly from a mask (tests) keep 0.0 = "the field is
-    # exactly the grid".
+    # density. build_occupancy_grid MEASURES this on a coarse (dilated)
+    # shell out to ``outer_extent``; probes BEYOND the measured shell read
+    # +inf (unknown — never skippable). Grids built directly from a mask
+    # (tests) keep 0.0 / inf defaults = "the field is exactly the grid".
     outer_sig: float = 0.0
+    outer_extent: float = float("inf")
 
     def __post_init__(self):
         if self.sig is None:
@@ -112,6 +114,15 @@ def _dilate3d(occ: np.ndarray, steps: int = 1) -> np.ndarray:
     return out
 
 
+def _activate(sig: np.ndarray, rcfg) -> np.ndarray:
+    """Raw sigma -> the activated density the renderer integrates
+    (softplus keeps negative raw sigma contributing; both are monotone so
+    pool-then-activate is exact)."""
+    if rcfg is not None and getattr(rcfg, "activation", None) == "softplus":
+        return np.logaddexp(sig, 0.0)
+    return np.maximum(sig, 0.0)
+
+
 def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
                          supersample: int = 2, threshold: float = 5.0,
                          extent: float = 1.5, dilate: int = 1,
@@ -138,10 +149,7 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
         sig = sig.reshape(resolution, supersample, resolution, supersample,
                           resolution, supersample).max(axis=(1, 3, 5))
     rcfg = getattr(trainer, "rcfg_test", None)
-    if rcfg is not None and rcfg.activation == "softplus":
-        sig = np.logaddexp(sig, 0.0)  # softplus, monotone: pool-then-act ok
-    else:
-        sig = np.maximum(sig, 0.0)
+    sig = _activate(sig, rcfg)
     # sigma_grid's lattice is meshgrid(xy-indexed): axis order (y, x, z);
     # transpose to (x, y, z) so index math below reads naturally
     sig = np.ascontiguousarray(sig.transpose(1, 0, 2).astype(np.float32))
@@ -150,21 +158,21 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     occ = sig > threshold
 
     # measure (never assume) the activated density OUTSIDE the cube on a
-    # coarse lattice over [-outer_factor*extent, ..]^3: ray segments that
-    # leave the cube read this bound instead of a silent zero, so a field
-    # with real outside-the-cube density degrades to "cannot skip" instead
-    # of dropping visible rays. Same lattice-empirical character as the
-    # inner grid (coarser cells: this is a guard, not the tight bound).
-    outer_sig = 0.0
+    # coarse dilated lattice over [-outer_factor*extent, ..]^3: ray
+    # segments that leave the cube but stay within the measured shell read
+    # this bound instead of a silent zero; probes BEYOND the shell read
+    # +inf (unknown — those segments can never be tightened away). Same
+    # lattice-empirical character as the inner grid (coarser cells +
+    # 1-cell dilation: a guard, not the tight bound).
+    outer_sig, outer_extent = 0.0, float(extent)
     if outer_factor > 1.0:
-        s_out = sigma_grid(trainer, frame_idx, n_grid=resolution,
-                           extent=extent * outer_factor, clip_negative=False)
-        if rcfg is not None and rcfg.activation == "softplus":
-            s_out = np.logaddexp(s_out, 0.0)
-        else:
-            s_out = np.maximum(s_out, 0.0)
-        c = np.linspace(-extent * outer_factor, extent * outer_factor,
-                        resolution, dtype=np.float32)
+        outer_extent = float(extent * outer_factor)
+        s_out = _activate(
+            sigma_grid(trainer, frame_idx, n_grid=resolution,
+                       extent=outer_extent, clip_negative=False), rcfg)
+        s_out = _dilate3d(s_out.astype(np.float32), 1)
+        c = np.linspace(-outer_extent, outer_extent, resolution,
+                        dtype=np.float32)
         inner = ((np.abs(c)[:, None, None] <= extent)
                  & (np.abs(c)[None, :, None] <= extent)
                  & (np.abs(c)[None, None, :] <= extent))
@@ -172,7 +180,7 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
 
     return OccupancyGrid(occ=np.ascontiguousarray(occ), extent=float(extent),
                          threshold=float(threshold), sig=sig,
-                         outer_sig=outer_sig)
+                         outer_sig=outer_sig, outer_extent=outer_extent)
 
 
 def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
@@ -185,15 +193,19 @@ def _lookup(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
 
 
 def _lookup_sig(grid: OccupancyGrid, pts: np.ndarray) -> np.ndarray:
-    """(...,3) points -> per-cell sigma upper bound; points outside the
-    cube read ``grid.outer_sig`` (the measured outer-region bound — NOT an
-    assumed zero, see OccupancyGrid.outer_sig)."""
+    """(...,3) points -> per-cell sigma upper bound. Three zones: inside
+    the grid reads the dilated per-cell max; outside the grid but within
+    the MEASURED outer shell reads ``grid.outer_sig``; beyond the measured
+    shell reads +inf (unknown density is never skippable)."""
     r = grid.resolution
     ids = np.floor((pts + grid.extent) / grid.cell).astype(np.int64)
     inb = np.all((ids >= 0) & (ids < r), axis=-1)
     ids = np.clip(ids, 0, r - 1)
+    in_shell = np.all(np.abs(pts) <= grid.outer_extent, axis=-1)
+    out_val = np.where(in_shell, np.float32(grid.outer_sig),
+                       np.float32(np.inf))
     return np.where(inb, grid.sig[ids[..., 0], ids[..., 1], ids[..., 2]],
-                    np.float32(grid.outer_sig))
+                    out_val)
 
 
 def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,

@@ -434,10 +434,12 @@ class BaseTrainer:
                 "supersample": int(m.get("occ_supersample", 2)),
                 # <= 0 = auto: cover the hull of the frame's ray segments so
                 # no tighten-time probe leaves the grid (the bound then
-                # rests entirely on the measured inner lattice; an explicit
-                # extent that rays escape falls back to the measured
-                # outer_sig bound — sound, but it disables skipping when
-                # the field extrapolates density out there)
+                # rests entirely on the measured inner lattice). Rays that
+                # DO escape the grid (explicit small extent, or novel poses
+                # reusing a cached frame grid) read the coarse measured
+                # outer_sig bound within 2x extent and +inf beyond it —
+                # conservative: skipping degrades or turns off, never
+                # silently drops visible rays
                 "extent": float(m.get("occ_extent", 0.0)),
                 "tau": float(m.get("occ_tau", 1e-3))}
 

@@ -131,7 +131,8 @@ def visualize_spherical(trainer, frame_idx: int, use_nof=True, save_path=None):
         save_path,
         f"spherical_videos_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
         f"{name}_images")
-    os.makedirs(img_dir, exist_ok=True)
+    # no makedirs here: save_image creates directories itself and is
+    # process-0-gated — non-main hosts must not touch the filesystem
     frames = []
     for i, pose in enumerate(ds.spherical_poses):
         img, depth = _render_view(trainer, ds, idx, c2w4=pose,
@@ -150,7 +151,8 @@ def visualize_video(trainer, vis_novel_view=True, save_path=None):
     img_dir = osp.join(
         save_path,
         f"videos_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}", "images")
-    os.makedirs(img_dir, exist_ok=True)
+    # no makedirs here: save_image creates directories itself and is
+    # process-0-gated — non-main hosts must not touch the filesystem
     frames = []
     for idx in range(ds.num_frames):
         img, depth = _render_view(trainer, ds, idx, use_nof=True)
@@ -190,7 +192,8 @@ def visualize_bullet_time(trainer, frame_idx: int, save_path=None,
         save_path,
         f"bullet_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}",
         f"{name}_images")
-    os.makedirs(img_dir, exist_ok=True)
+    # no makedirs here: save_image creates directories itself and is
+    # process-0-gated — non-main hosts must not touch the filesystem
     frames = []
     for i, pose in enumerate(poses):
         img, depth = _render_view(trainer, ds, idx, c2w4=pose,
@@ -224,17 +227,25 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
         frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
 
     # params/anneal are explicit args: closure-captured device arrays would be
-    # fetched to host at lowering time (slow on tunneled backends)
-    @jax.jit
-    def eval_tiles(params, anneal, norm_idx, tiles):
-        def one(pts):
-            if warp:
-                pts = nof_points(params["bw_NoF"], statics, anneal, pts,
-                                 norm_idx, RenderConfig(use_nof=True))
-            emb = encode_nerf_xyz(params[nerf_name], nerf_cfg, statics, pts,
-                                  anneal)
-            return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
-        return jax.lax.map(one, tiles)
+    # fetched to host at lowering time (slow on tunneled backends). The
+    # jitted fn is cached on the trainer — a per-call @jax.jit would
+    # recompile on EVERY grid build (occupancy grids rebuild after each
+    # train step; compiles cost minutes on the remote-compile service)
+    cache = getattr(trainer, "_sigma_eval_fns", None)
+    if cache is None:
+        cache = trainer._sigma_eval_fns = {}
+    eval_tiles = cache.get((warp, nerf_name))
+    if eval_tiles is None:
+        def _eval_tiles(params, anneal, norm_idx, tiles):
+            def one(pts):
+                if warp:
+                    pts = nof_points(params["bw_NoF"], statics, anneal, pts,
+                                     norm_idx, RenderConfig(use_nof=True))
+                emb = encode_nerf_xyz(params[nerf_name], nerf_cfg, statics,
+                                      pts, anneal)
+                return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
+            return jax.lax.map(one, tiles)
+        eval_tiles = cache[(warp, nerf_name)] = jax.jit(_eval_tiles)
 
     lin = np.linspace(-extent, extent, n_grid, dtype=np.float32)
     xyz = np.stack(np.meshgrid(lin, lin, lin), -1).reshape(-1, 3)

@@ -212,3 +212,26 @@ def test_outside_cube_density_blocks_skipping():
     assert st["empty_frac"] == 0.0
     np.testing.assert_array_equal(out[:, 6], rays[:, 6])
     np.testing.assert_array_equal(out[:, 7], rays[:, 7])
+
+
+def test_beyond_measured_shell_is_unknown():
+    """Probes beyond the MEASURED outer shell read +inf: even outer_sig=0
+    cannot certify emptiness where nothing was measured. Rays run from
+    z=3 to z=-5 through a shell measured only to |x| <= 2: both the
+    leading (t < ~1) and trailing (t > ~5) segments are unmeasured, so no
+    ray is provably empty and far never tightens into the unknown tail."""
+    res, extent = 12, 1.5
+    occ = np.zeros((res, res, res), bool)
+    grid = OccupancyGrid(occ=occ, extent=extent, threshold=5.0,
+                         outer_sig=0.0, outer_extent=2.0)
+    h = w = 8
+    rays = _camera_rays(h, w, focal=20.0, origin_z=3.0, near=1.0, far=8.0)
+    out, st = tighten_ray_bounds(grid, rays, (h, w))
+    assert st["empty_frac"] == 0.0
+    np.testing.assert_array_equal(out[:, 7], rays[:, 7])
+    # sanity: with the shell declared measured-everywhere (outer_extent
+    # inf), the same all-zero field IS provably empty
+    grid2 = OccupancyGrid(occ=occ, extent=extent, threshold=5.0,
+                          outer_sig=0.0)
+    _, st2 = tighten_ray_bounds(grid2, rays, (h, w))
+    assert st2["empty_frac"] == 1.0
