@@ -181,6 +181,37 @@ def _sorted_permute_bwd(pos, g):
 _sorted_permute.defvjp(_sorted_permute_fwd, _sorted_permute_bwd)
 
 
+@jax.custom_vjp
+def _sorted_permute_pos(keys: jnp.ndarray, channels: tuple):
+    """:func:`_sorted_permute` that ALSO returns each sorted slot's
+    pre-sort position (``pos``, int32) — the iota payload the backward
+    pass needs anyway, exposed so callers that want ``pos`` (the cano
+    merges) don't pay a second identical sort for it."""
+    n, s = keys.shape
+    iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (n, s))
+    out = jax.lax.sort((keys, iota) + tuple(channels), dimension=-1,
+                       is_stable=True, num_keys=1)
+    return out[0], tuple(out[2:]), out[1]
+
+
+def _sorted_permute_pos_fwd(keys, channels):
+    n, s = keys.shape
+    iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (n, s))
+    out = jax.lax.sort((keys, iota) + tuple(channels), dimension=-1,
+                       is_stable=True, num_keys=1)
+    return (out[0], tuple(out[2:]), out[1]), out[1]
+
+
+def _sorted_permute_pos_bwd(pos, g):
+    g_keys, g_channels, _ = g   # pos is int: its cotangent is float0
+    out = jax.lax.sort((pos, g_keys) + tuple(g_channels), dimension=-1,
+                       is_stable=True, num_keys=1)
+    return out[1], tuple(out[2:])
+
+
+_sorted_permute_pos.defvjp(_sorted_permute_pos_fwd, _sorted_permute_pos_bwd)
+
+
 def merge_sorted_samples(z_a: jnp.ndarray, z_b: jnp.ndarray,
                          payload_a: dict, payload_b: dict):
     """Merge two per-ray sample sets into depth-sorted order, carrying
@@ -266,13 +297,9 @@ def merge_cano_by_z(z_a: jnp.ndarray, z_b: jnp.ndarray,
     ~1.5 ms per (1024, 256, 3) stack on v5e, the difference between this
     merge costing ~1 ms and ~6 ms per train step."""
     keys = jnp.concatenate([z_a, z_b], axis=-1)
-    n, s = keys.shape
-    iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (n, s))
-    pos = jax.lax.sort((keys, iota), dimension=-1, is_stable=True,
-                       num_keys=1)[1]
     cat = jnp.concatenate([cano_a, cano_b], axis=1)
     chans = tuple(cat[..., c] for c in range(cat.shape[-1]))
-    z_all, sorted_chans = _sorted_permute(keys, chans)
+    z_all, sorted_chans, pos = _sorted_permute_pos(keys, chans)
     cano = jnp.stack(sorted_chans, axis=-1)
     return z_all, cano, pos
 
@@ -284,11 +311,7 @@ def merge_cano_by_z_t(z_a: jnp.ndarray, z_b: jnp.ndarray,
     ``(3, N, Sa+Sb)``. The sort channels are leading-axis rows — no
     lane-padded (N, S, 3) slice/stack at all."""
     keys = jnp.concatenate([z_a, z_b], axis=-1)
-    n, s = keys.shape
-    iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (n, s))
-    pos = jax.lax.sort((keys, iota), dimension=-1, is_stable=True,
-                       num_keys=1)[1]
     cat = jnp.concatenate([cano_a_t, cano_b_t], axis=2)
     chans = tuple(cat[c] for c in range(cat.shape[0]))
-    z_all, sorted_chans = _sorted_permute(keys, chans)
+    z_all, sorted_chans, pos = _sorted_permute_pos(keys, chans)
     return z_all, jnp.stack(sorted_chans, axis=0), pos
