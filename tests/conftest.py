@@ -6,6 +6,13 @@ import os
 # Must be set before jax is imported anywhere. Force CPU even if the session
 # env points at a TPU platform (e.g. JAX_PLATFORMS=axon).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Drop the axon TPU plugin's gate var so any python SUBPROCESS a test spawns
+# (multihost smoke tests, self-respawning mesh benches) never registers the
+# tunnel client. For THIS process the sitecustomize already ran at startup —
+# run pytest under `env -u PALLAS_AXON_POOL_IPS` when a TPU job is live
+# (a concurrent bench.py once aborted the suite with a bare "Fatal Python
+# error" mid-run; see CLAUDE.md).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
