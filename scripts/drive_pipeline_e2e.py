@@ -116,7 +116,9 @@ def main():
         [sys.executable, "test.py", "-c", os.path.join(base, "s3.yaml"),
          "--render_gt", "--reso", "128", "--eval_metrics",
          "--eval_max_frames", "2", "--fine_budget", "24",
-         "--coarse_probe", "8"],
+         # probe must divide the scene's n_samples (12) — render/volume.py
+         # validates loudly since round 3 (8 used to silently stride to 1)
+         "--coarse_probe", "6"],
         cwd=REPO, env=env, capture_output=True, text=True,
         timeout=args.stage_timeout)
     print("== test.py rc:", r.returncode, flush=True)

@@ -15,8 +15,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices timeshare this host's ONE core, so an in-process
+# all-reduce rendezvous can miss XLA:CPU's default 20s-warn/40s-TERMINATE
+# timeouts whenever another process loads the core (a concurrent TPU bench's
+# compile client did exactly that: 5/8 participant threads arrived and XLA
+# aborted the whole pytest run). Collectives here are correctness tests, not
+# latency tests — give them room instead of a SIGABRT.
+if "collective_call" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -29,6 +38,11 @@ jax.config.update("jax_enable_x64", False)
 # before any backend initializes so tests run on the fake 8-device host.
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+# NOTE: do NOT disable jax_cpu_enable_async_dispatch here — serializing
+# dispatch slowed the 8-virtual-device CLI tests by >10x (each shard_map
+# chunk render waits for the previous one). The raised collective timeouts
+# above are the abort fix; transient rendezvous warnings under load are
+# expected and harmless.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
