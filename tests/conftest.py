@@ -22,9 +22,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # compile client did exactly that: 5/8 participant threads arrived and XLA
 # aborted the whole pytest run). Collectives here are correctness tests, not
 # latency tests — give them room instead of a SIGABRT.
-if "collective_call" not in flags:
-    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+if "collective_call_warn_stuck" not in flags:
+    flags += " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+if "collective_call_terminate" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 os.environ["XLA_FLAGS"] = flags
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
