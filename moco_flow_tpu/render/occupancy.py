@@ -16,12 +16,17 @@ Pipeline (all static-shape; nothing here recompiles the render fn):
      supersampled lattice on-device — reusing train/vis.py::sigma_grid, the
      same evaluator mesh extraction uses — max-pool to the grid resolution,
      threshold, and dilate one cell (conservative).
-  2. ``tighten_ray_bounds``: HOST-side numpy. Probe the grid along a coarse
-     subgrid of rays (spacing auto-clamped to the cell size via the rays'
-     angular pitch), take per-pixel [t_min, t_max] over occupied hits,
-     dilate in image space, pad by grid cells, upsample, and rewrite the
-     rays' near/far columns. Rays that provably hit nothing keep their
-     original bounds (their compositing weights are ~0 anyway).
+  2. ``tighten_ray_bounds``: probe the grid along a coarse subgrid of rays
+     (spacing auto-clamped to the cell size via the rays' angular pitch),
+     take per-pixel [t_min, t_max] over occupied hits, dilate in image
+     space, pad by grid cells, upsample, and rewrite the rays' near/far
+     columns. Rays that provably hit nothing keep their original bounds
+     (their compositing weights are ~0 anyway). Two implementations with
+     identical math: :func:`tighten_ray_bounds_jax` (default — one jitted
+     on-device program; only the probe-plan scalars are derived host-side,
+     so the timed render loop runs zero host numpy over ray-sized arrays)
+     and the original :func:`tighten_ray_bounds` numpy path (fallback +
+     cross-check oracle, ``model.occ_impl: host``).
   3. Render exactly as before: stratified z sampling already consumes
      per-ray near/far, so the tightened rays flow through the existing
      fused/XLA render paths and compose with fine_budget/coarse_probe.
@@ -92,6 +97,14 @@ class OccupancyGrid:
     @property
     def occupancy_fraction(self) -> float:
         return float(self.occ.mean())
+
+    def device_sig(self):
+        """Flattened ``sig`` as a cached device array (feeds the jitted
+        tightener; built lazily so host-only users never touch a device)."""
+        if getattr(self, "_device_sig", None) is None:
+            import jax.numpy as jnp
+            self._device_sig = jnp.asarray(self.sig.reshape(-1))
+        return self._device_sig
 
 
 def _dilate3d(occ: np.ndarray, steps: int = 1) -> np.ndarray:
@@ -342,4 +355,155 @@ def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
         # of the depth-bound tightening.
         "empty_mask": empty,
     }
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# On-device tightening (round-4: zero host numpy in the timed render loop)
+# ---------------------------------------------------------------------------
+
+def _probe_plan(grid: OccupancyGrid, rays_np: np.ndarray, size,
+                max_coarse: int):
+    """Host-side probe-plan scalars (stride + probe count). Mirrors the
+    derivation at the top of :func:`tighten_ray_bounds`; everything here is
+    O(n_rays) numpy over data the caller already holds on host (frame rays
+    come from the dataset's host-side camera, data/dataset.py::frame_rays)."""
+    h, w = size
+    o, d = rays_np[:, 0:3], rays_np[:, 3:6]
+    near, far = rays_np[:, 6], rays_np[:, 7]
+    d0 = d[0] / np.linalg.norm(d[0])
+    d1 = d[1] / np.linalg.norm(d[1])
+    pitch = float(np.linalg.norm(np.cross(d0, d1))) + 1e-12
+    safe = int(grid.cell / (pitch * float(far.max()) + 1e-12))
+    coarse = int(np.clip(safe, 1, max_coarse))
+    ys = np.arange(0, h, coarse)
+    xs = np.arange(0, w, coarse)
+    sub = (ys[:, None] * w + xs[None, :]).reshape(-1)
+    dn = np.linalg.norm(d[sub], axis=-1)
+    span_max = float(((far[sub] - near[sub]) * dn).max())
+    n_probe = int(np.clip(np.ceil(span_max / grid.cell) + 1, 8, 512))
+    return coarse, n_probe, len(ys), len(xs)
+
+
+def _tighten_kernel(sig_flat, extent, cell, outer_sig, outer_extent,
+                    tau_eps, pad_cells, rays, *, r, h, w, coarse, n_probe):
+    """The whole tighten computation as one jit-able program. Math is a
+    line-for-line transcription of :func:`tighten_ray_bounds` (same probe
+    lattice, same tau-integral prefix/suffix bound, same image-space
+    dilation and padding); tests assert near-bit equality on f32 inputs."""
+    import jax.numpy as jnp
+
+    ys = jnp.arange(0, h, coarse)
+    xs = jnp.arange(0, w, coarse)
+    ch, cw = ys.shape[0], xs.shape[0]
+    sub = (ys[:, None] * w + xs[None, :]).reshape(-1)
+    rs = jnp.take(rays, sub, axis=0)
+    o_s, d_s = rs[:, 0:3], rs[:, 3:6]
+    n_s, f_s = rs[:, 6], rs[:, 7]
+    near, far = rays[:, 6], rays[:, 7]
+
+    dn = jnp.linalg.norm(d_s, axis=-1)
+    span_max = ((f_s - n_s) * dn).max()
+    ts = n_s[:, None] + (f_s - n_s)[:, None] * \
+        jnp.linspace(0.0, 1.0, n_probe, dtype=jnp.float32)[None, :]
+    pts = o_s[:, None, :] + d_s[:, None, :] * ts[..., None]
+
+    # three-zone sigma upper bound (== _lookup_sig)
+    ids = jnp.floor((pts + extent) / cell).astype(jnp.int32)
+    inb = jnp.all((ids >= 0) & (ids < r), axis=-1)
+    ids = jnp.clip(ids, 0, r - 1)
+    flat = (ids[..., 0] * r + ids[..., 1]) * r + ids[..., 2]
+    vals = jnp.take(sig_flat, flat.reshape(-1)).reshape(flat.shape)
+    in_shell = jnp.all(jnp.abs(pts) <= outer_extent, axis=-1)
+    out_val = jnp.where(in_shell, outer_sig, jnp.inf)
+    s = jnp.where(inb, vals, out_val)                   # (S, P)
+
+    dt = (ts[:, 1:] - ts[:, :-1]) * dn[:, None]
+    seg = jnp.maximum(s[:, 1:], s[:, :-1]) * dt         # (S, P-1)
+    zcol = jnp.zeros((seg.shape[0], 1), jnp.float32)
+    prefix = jnp.concatenate([zcol, jnp.cumsum(seg, axis=1)], axis=1)
+    suffix = jnp.concatenate(
+        [jnp.cumsum(seg[:, ::-1], axis=1)[:, ::-1], zcol], axis=1)
+    total = prefix[:, -1]
+
+    half = 0.5 * tau_eps
+    lead_ok = prefix <= half
+    trail_ok = suffix <= half
+    lo_idx = n_probe - 1 - jnp.argmax(lead_ok[:, ::-1], axis=1)
+    hi_idx = jnp.argmax(trail_ok, axis=1)
+    t_lo = jnp.take_along_axis(ts, lo_idx[:, None], axis=1)[:, 0]
+    t_hi = jnp.take_along_axis(ts, hi_idx[:, None], axis=1)[:, 0]
+
+    def _erode_min(a):
+        p = jnp.pad(a.reshape(ch, cw), 1, constant_values=jnp.inf)
+        return jnp.min(jnp.stack([p[i:i + ch, j:j + cw]
+                                  for i in (0, 1, 2) for j in (0, 1, 2)]),
+                       axis=0)
+
+    def _dilate_max(a):
+        p = jnp.pad(a.reshape(ch, cw), 1, constant_values=0.0)
+        return jnp.max(jnp.stack([p[i:i + ch, j:j + cw]
+                                  for i in (0, 1, 2) for j in (0, 1, 2)]),
+                       axis=0)
+
+    t_lo = _erode_min(t_lo)
+    t_hi = _dilate_max(jnp.where(total > 0, t_hi, 0.0))
+    total_d = _dilate_max(total)
+
+    up_y = jnp.minimum(jnp.arange(h) // coarse, ch - 1)
+    up_x = jnp.minimum(jnp.arange(w) // coarse, cw - 1)
+    t_lo_full = t_lo[up_y[:, None], up_x[None, :]].reshape(-1)
+    t_hi_full = t_hi[up_y[:, None], up_x[None, :]].reshape(-1)
+    total_full = total_d[up_y[:, None], up_x[None, :]].reshape(-1)
+
+    pad_t = pad_cells * cell + span_max / max(n_probe - 1, 1)
+    empty = total_full <= tau_eps
+    new_near = jnp.clip(t_lo_full - pad_t, near, far)
+    new_far = jnp.clip(t_hi_full + pad_t, near, far)
+    new_near = jnp.where(empty, near, new_near)
+    new_far = jnp.where(empty, far, new_far)
+
+    out = jnp.concatenate(
+        [rays[:, :6], new_near[:, None].astype(rays.dtype),
+         new_far[:, None].astype(rays.dtype), rays[:, 8:]], axis=1)
+    empty_frac = empty.mean(dtype=jnp.float32)
+    range_ratio = jnp.mean((new_far - new_near) / (far - near + 1e-12))
+    return out, empty, empty_frac, range_ratio
+
+
+_TIGHTEN_JIT = None
+
+
+def tighten_ray_bounds_jax(grid: OccupancyGrid, rays, size,
+                           pad_cells: float = 2.0, max_coarse: int = 8,
+                           tau_eps: float = 1e-3):
+    """On-device :func:`tighten_ray_bounds`: same bound, same outputs, but
+    the probe/scan math runs as ONE jitted program and the returned rays,
+    empty mask and stats stay on device (callers that need the mask host-
+    side pay one transfer; nothing else syncs). Only the probe-plan ints —
+    stride and probe count, which are shapes — are derived host-side from
+    the (host-resident) rays. Returns ``(rays_device, stats)`` with
+    ``stats['empty_mask']`` a device bool array and the scalar stats device
+    scalars (read them lazily)."""
+    import jax
+    import jax.numpy as jnp
+
+    rays_np = np.asarray(rays)
+    coarse, n_probe, _, _ = _probe_plan(grid, rays_np, size, max_coarse)
+    h, w = size
+
+    global _TIGHTEN_JIT
+    if _TIGHTEN_JIT is None:
+        _TIGHTEN_JIT = jax.jit(
+            _tighten_kernel,
+            static_argnames=("r", "h", "w", "coarse", "n_probe"))
+    out, empty, empty_frac, range_ratio = _TIGHTEN_JIT(
+        grid.device_sig(), jnp.float32(grid.extent), jnp.float32(grid.cell),
+        jnp.float32(grid.outer_sig), jnp.float32(grid.outer_extent),
+        jnp.float32(tau_eps), jnp.float32(pad_cells),
+        jnp.asarray(rays_np, jnp.float32),
+        r=grid.resolution, h=h, w=w, coarse=coarse, n_probe=n_probe)
+    stats = {"coarse": coarse, "n_probe": n_probe,
+             "empty_frac": empty_frac, "range_ratio": range_ratio,
+             "empty_mask": empty}
     return out, stats

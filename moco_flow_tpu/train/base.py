@@ -441,7 +441,11 @@ class BaseTrainer:
                 # conservative: skipping degrades or turns off, never
                 # silently drops visible rays
                 "extent": float(m.get("occ_extent", 0.0)),
-                "tau": float(m.get("occ_tau", 1e-3))}
+                "tau": float(m.get("occ_tau", 1e-3)),
+                # auto = the on-device jitted tightener (zero host numpy in
+                # the timed render loop); "host" = the original numpy path
+                # (fallback + cross-check oracle, tests/test_occupancy.py)
+                "impl": str(m.get("occ_impl", "auto"))}
 
     def _occ_auto_extent(self, frame_idx: int) -> float:
         """Half-width of the cube covering every sample point of the frame's
@@ -474,14 +478,21 @@ class BaseTrainer:
         per-ray provably-empty mask (see :meth:`occ_keep_mask`)."""
         if self.occ_cfg["resolution"] <= 0:
             return rays
-        from ..render.occupancy import tighten_ray_bounds
         grid = self.occupancy_grid(frame_idx)
-        out, stats = tighten_ray_bounds(grid, np.asarray(rays),
-                                        size or self.val_dataset.size,
-                                        tau_eps=self.occ_cfg["tau"])
-        self._occ_keep = ~stats.pop("empty_mask")
+        size = size or self.val_dataset.size
+        if self.occ_cfg["impl"] == "host":
+            from ..render.occupancy import tighten_ray_bounds
+            out, stats = tighten_ray_bounds(grid, np.asarray(rays), size,
+                                            tau_eps=self.occ_cfg["tau"])
+            self._occ_keep = ~stats.pop("empty_mask")
+            self._occ_stats = stats
+            return jnp.asarray(out)
+        from ..render.occupancy import tighten_ray_bounds_jax
+        out, stats = tighten_ray_bounds_jax(grid, rays, size,
+                                            tau_eps=self.occ_cfg["tau"])
+        self._occ_keep = jnp.logical_not(stats.pop("empty_mask"))
         self._occ_stats = stats
-        return jnp.asarray(out)
+        return out
 
     def occ_keep_mask(self):
         """Bool (n_rays,) mask from the LAST :meth:`tighten_rays` call:

@@ -136,6 +136,54 @@ def test_empty_grid_keeps_bounds():
     assert stats["empty_frac"] == 1.0
 
 
+def test_jax_tightener_matches_host_path():
+    """The on-device tightener (tighten_ray_bounds_jax) is a transcription
+    of the numpy math: same probe plan, same bounds, same empty mask and
+    stats, across the bound-relevant grid regimes (sparse density, hard-inf
+    cells, fog, all-empty, measured outer density, finite measured shell)."""
+    from moco_flow_tpu.render.occupancy import tighten_ray_bounds_jax
+
+    rng = np.random.default_rng(7)
+    res, extent = 16, 1.5
+    h = w = 20
+    rays = _camera_rays(h, w, focal=30.0)
+
+    sparse = (rng.uniform(size=(res, res, res)) < 0.03).astype(np.float32) * 60
+    hard = np.zeros((res, res, res), np.float32)
+    hard[7:9, 7:9, 7:9] = np.inf
+    fog = np.full((res, res, res), 4.0, np.float32)
+    grids = [
+        OccupancyGrid(occ=sparse > 5, extent=extent, threshold=5.0,
+                      sig=sparse),
+        OccupancyGrid(occ=hard > 5, extent=extent, threshold=5.0, sig=hard),
+        OccupancyGrid(occ=fog > 5, extent=extent, threshold=5.0, sig=fog),
+        OccupancyGrid(occ=np.zeros((res,) * 3, bool), extent=extent,
+                      threshold=5.0),
+        OccupancyGrid(occ=np.zeros((res,) * 3, bool), extent=extent,
+                      threshold=5.0, outer_sig=10.0),
+        OccupancyGrid(occ=sparse > 5, extent=extent, threshold=5.0,
+                      sig=sparse, outer_sig=0.0, outer_extent=2.0),
+    ]
+    for gi, grid in enumerate(grids):
+        ref, ref_stats = tighten_ray_bounds(grid, rays, (h, w))
+        out, stats = tighten_ray_bounds_jax(grid, rays, (h, w))
+        out = np.asarray(out)
+        assert stats["coarse"] == ref_stats["coarse"], gi
+        assert stats["n_probe"] == ref_stats["n_probe"], gi
+        np.testing.assert_array_equal(
+            np.asarray(stats["empty_mask"]), ref_stats["empty_mask"],
+            err_msg=f"grid {gi}")
+        np.testing.assert_allclose(out[:, 6], ref[:, 6], atol=2e-5,
+                                   err_msg=f"grid {gi} near")
+        np.testing.assert_allclose(out[:, 7], ref[:, 7], atol=2e-5,
+                                   err_msg=f"grid {gi} far")
+        np.testing.assert_array_equal(out[:, :6], ref[:, :6])
+        np.testing.assert_allclose(float(stats["empty_frac"]),
+                                   ref_stats["empty_frac"], atol=1e-6)
+        np.testing.assert_allclose(float(stats["range_ratio"]),
+                                   ref_stats["range_ratio"], rtol=1e-5)
+
+
 def test_trainer_plumbing_and_grid_build(tmp_path):
     """Full path through a real trainer: grid build from the live sigma
     field, caching, train-step invalidation, and the exact-render guarantee
