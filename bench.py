@@ -64,6 +64,107 @@ def build_trainer(root, save_dir, dtype, impl, mesh, n_rand=1024,
     return get_trainer(config, smpl_data=smpl, mesh=mesh)
 
 
+def _stage1_config(root, save_dir, dtype, impl):
+    """Reference stage-1 shape (init_nerf.yaml:25-45): 5120 rays x
+    (128+128) samples, 8x256 dir-conditioned NeRF, softplus, radam."""
+    nerf = {"type": "NeRF", "D": 8, "W": 256, "in_channels_xyz": 63,
+            "skips": [4], "extra_feat_type": "dir", "extra_feat_dim": 27}
+    return {
+        "save_dir": save_dir, "exp_name": "bench_s1",
+        "dataloader": {
+            "type": "moco_flow", "root_dir": root, "imgs_dir": "images",
+            "size": [256, 256], "val_size": [256, 256],
+            "aabb": [[1.2, 1.2, 1.2], [0, 0, 0]], "bkgd": 1.0,
+            "interval": 1,
+        },
+        "model": {
+            "type": "nerf", "pretrained_path": None,
+            "N_rand": 5120, "chunk": 32768, "N_samples": 128,
+            "N_importance": 128, "use_disp": False, "perturb": 1.0,
+            "noise_std": 0.0, "nerf_activate_type": "softplus",
+            "compute_dtype": dtype, "mlp_impl": impl,
+            "nerf_embedding_xyz": {"type": "Embedding", "in_channels": 3,
+                                   "N_freqs": 0, "logscale": True},
+            "nerf_embedding_dir": {"type": "Embedding", "in_channels": 3,
+                                   "N_freqs": 4, "logscale": True},
+            "nerf_embedding_ind": None,
+            "coarse_NeRF": dict(nerf), "fine_NeRF": dict(nerf),
+        },
+        "loss": {"type": "MSE"},
+        "optimizer": {"type": "radam", "lr": 5e-4, "weight_decay": 0},
+        "scheduler": {"type": "steplr", "decay_step": [500000],
+                      "decay_gamma": 0.5},
+        "trainer": {"num_iters": 10, "val_every_n_step": 0,
+                    "save_every_n_step": 0, "log_freq": 1000000},
+    }
+
+
+def _stage2_config(root, save_dir):
+    """Reference stage-2 shape (init_nof.yaml:17-28): 100k correspondence
+    points/step, D=4 W=128 quat NoFs both directions, adam."""
+    nof = {"type": "NoF", "D": 4, "W": 128, "in_channels_xyz": 33,
+           "skips": [2], "extra_feat_type": "ind", "extra_feat_dim": 33,
+           "use_quat": True}
+    return {
+        "save_dir": save_dir, "exp_name": "bench_s2",
+        "dataloader": {"type": "nof", "root_dir": root, "interval": 1},
+        "model": {
+            "type": "nof", "pretrained_path": None, "pretrained_nof": None,
+            "N_sampled": 100000,
+            "nof_embedding_xyz": {"in_channels": 3, "N_freqs": 5,
+                                  "logscale": True},
+            "nof_embedding_ind": {"in_channels": 1, "N_freqs": 16,
+                                  "logscale": True},
+            "fw_NoF": nof, "bw_NoF": nof,
+        },
+        "loss": {"type": "L1"},
+        "optimizer": {"type": "adam", "lr": 5e-4, "weight_decay": 0},
+        "scheduler": {"type": "steplr", "decay_step": [300000],
+                      "decay_gamma": 0.5},
+        "trainer": {"num_iters": 10, "val_every_n_step": 0,
+                    "save_every_n_step": 0, "log_freq": 1000000},
+    }
+
+
+def bench_stage_axes(root, tmp, dtype, impl, steps: int) -> dict:
+    """Stage-1 / stage-2 train throughput at the reference step shapes —
+    the inputs of the end-to-end wall-clock budget (PERF.md; the stage-3
+    axis is the main train metric above). Returns rays/s/chip (stage 1)
+    and correspondence points/s/chip (stage 2)."""
+    import jax
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    smpl = make_synthetic_scene(os.path.join(tmp, "scene_s1"), n_frames=8,
+                                size=256, focal=300.0)
+    t1 = get_trainer(Config(_stage1_config(os.path.join(tmp, "scene_s1"),
+                                           os.path.join(tmp, "log_s1"),
+                                           dtype, impl), mode="train"),
+                     smpl_data=smpl)
+    s1 = bench_train(t1, steps) / t1.world_size
+    del t1
+
+    t2 = get_trainer(Config(_stage2_config(os.path.join(tmp, "scene_s1"),
+                                           os.path.join(tmp, "log_s2")),
+                            mode="train"), smpl_data=smpl)
+    for _ in range(3):
+        t2.train_func()
+        t2.clock.tick(t2.world_size)
+    jax.block_until_ready(t2.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        t2.train_func()
+        t2.clock.tick(t2.world_size)
+    jax.block_until_ready(t2.params)
+    n_pts = t2.config["model"]["N_sampled"]
+    s2 = n_pts * steps / (time.perf_counter() - t0)
+    return {
+        "train_stage1_rays_per_sec_per_chip": round(s1, 1),
+        "train_stage2_pts_per_sec_per_chip": round(s2, 1),
+    }
+
+
 def bench_train(trainer, steps: int) -> float:
     import jax
     for _ in range(3):  # warmup / compile
@@ -148,6 +249,11 @@ def main():
                          "empty-space skipping look arbitrarily good, so "
                          "this axis distills a sharp SMPL-shell density "
                          "first. 0: skip (faster bench)")
+    ap.add_argument("--stage_axes", type=int, default=1,
+                    help="1 (default): also measure stage-1 (5120-ray) and "
+                         "stage-2 (100k-point) train throughput at the "
+                         "reference step shapes — the inputs of the "
+                         "3-stage wall-clock budget (PERF.md). 0: skip")
     ap.add_argument("--coarse_probe", type=int, default=32,
                     help="test-time coarse subsampling: strided sigma probe "
                          "count (0 = evaluate all coarse samples; the "
@@ -216,6 +322,12 @@ def main():
             metric = "render_rays_per_sec_per_chip"
             base = BASELINE_RENDER_RAYS_PER_SEC
 
+        stage = None
+        if args.stage_axes and args.mode in ("train", "both"):
+            stage = bench_stage_axes(os.path.join(tmp, "scene"), tmp,
+                                     args.dtype, args.impl,
+                                     max(args.steps // 2, 5))
+
         occ = None
         if args.occ_axis and args.mode in ("render", "both"):
             # occupancy axis LAST: the distillation overwrites the NeRF
@@ -283,6 +395,8 @@ def main():
             render_value / BASELINE_RENDER_RAYS_PER_SEC, 3)
     if render_exact is not None:
         out["render_exact_rays_per_sec_per_chip"] = round(render_exact, 1)
+    if stage is not None:
+        out.update(stage)
     if occ is not None:
         out.update(occ)
     print(json.dumps(out))

@@ -25,12 +25,15 @@ sys.path.insert(0, REPO)
 
 
 def timed(fn, *args, iters):
+    """fn(*args, i) must DEPEND on the loop index i — a loop-invariant body
+    gets hoisted out of fori_loop by XLA and times as ~0 (measured: the
+    8x256 trunk 'ran' in -0.05 ms before this guard)."""
     import jax
 
     @jax.jit
     def loop(*a):
         def body(i, acc):
-            return acc + fn(*a)
+            return acc + fn(*a, i)
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     r = float(loop(*args))  # compile + run once
@@ -63,14 +66,18 @@ def main():
 
     out = {"b": args.b, "iters": args.iters, "levels": args.levels}
 
-    def enc_sum(t, xx):
-        return hashgrid_encode(t, xx, cfg).sum()
+    def shift(xx, i):
+        return xx + i.astype(jnp.float32) * 1e-6
+
+    def enc_sum(t, xx, i):
+        return hashgrid_encode(t, shift(xx, i), cfg).sum()
 
     dt, _ = timed(enc_sum, table, x, iters=args.iters)
     out["hash_fwd_ms"] = round(dt * 1e3, 2)
 
-    def enc_grad(t, xx):
-        g = jax.grad(lambda tt: hashgrid_encode(tt, xx, cfg).sum())(t)
+    def enc_grad(t, xx, i):
+        g = jax.grad(lambda tt: hashgrid_encode(tt, shift(xx, i),
+                                                cfg).sum())(t)
         return g.sum()
 
     dt, _ = timed(enc_grad, table, x, iters=args.iters)
@@ -81,8 +88,9 @@ def main():
                            dtype=jnp.bfloat16)
     w2 = jax.random.normal(jax.random.key(3), (64, 64), dtype=jnp.bfloat16)
 
-    def tiny_mlp(t, xx):
-        h = hashgrid_encode(t, xx, cfg, compute_dtype=jnp.bfloat16)
+    def tiny_mlp(t, xx, i):
+        h = hashgrid_encode(t, shift(xx, i), cfg,
+                            compute_dtype=jnp.bfloat16)
         h = jax.nn.relu(h @ w1)
         return (h @ w2).astype(jnp.float32).sum()
 
@@ -102,27 +110,48 @@ def main():
                             (63 if i == 0 else 256, 256),
                             dtype=jnp.bfloat16) * 0.05 for i in range(8)]
 
-    def trunk(xx):
-        h = pe(xx).astype(jnp.bfloat16)
+    def trunk(t, xx, i):
+        h = pe(shift(xx, i)).astype(jnp.bfloat16)
         for w in ws:
             h = jax.nn.relu(h @ w)
         return h.astype(jnp.float32).sum()
 
-    dt, _ = timed(lambda t, xx: trunk(xx), table, x, iters=args.iters)
+    dt, _ = timed(trunk, table, x, iters=args.iters)
     out["pe_trunk8x256_fwd_ms"] = round(dt * 1e3, 2)
+
+    def _trunk_loss(ww, xx):
+        h = pe(xx).astype(jnp.bfloat16)
+        for w in ww:
+            h = jax.nn.relu(h @ w)
+        return h.astype(jnp.float32).sum()
+
+    def trunk_grad(t, xx, i):
+        gs = jax.grad(_trunk_loss)(ws, shift(xx, i))
+        return sum(g.astype(jnp.float32).sum() for g in gs)
+
+    dt, _ = timed(trunk_grad, table, x, iters=args.iters)
+    out["pe_trunk8x256_fwdbwd_ms"] = round(dt * 1e3, 2)
 
     # single merged gather (all levels, one take) — is per-level dispatch
     # the problem, or the gather itself?
     merged = table.reshape(-1, cfg.n_features)
+    idx0 = jax.random.randint(jax.random.key(4),
+                              (args.b * 8 * args.levels,), 0,
+                              merged.shape[0] - args.iters - 1)
 
-    def one_take(t, xx):
-        idx = jax.random.randint(jax.random.key(4),
-                                 (args.b * 8 * args.levels,), 0,
-                                 merged.shape[0])
-        return jnp.take(t, idx, axis=0).sum()
+    def one_take(t, xx, i):
+        return jnp.take(t, idx0 + i, axis=0).sum()
 
     dt, _ = timed(one_take, merged, x, iters=args.iters)
     out["merged_single_take_ms"] = round(dt * 1e3, 2)
+
+    # scatter-add alone (the gather's transpose): grad of the merged take
+    def one_scatter(t, xx, i):
+        g = jax.grad(lambda tt: jnp.take(tt, idx0 + i, axis=0).sum())(t)
+        return g.sum()
+
+    dt, _ = timed(one_scatter, merged, x, iters=args.iters)
+    out["merged_single_scatter_ms"] = round(dt * 1e3, 2)
 
     print(json.dumps(out))
 
