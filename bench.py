@@ -249,6 +249,16 @@ def main():
                          "empty-space skipping look arbitrarily good, so "
                          "this axis distills a sharp SMPL-shell density "
                          "first. 0: skip (faster bench)")
+    ap.add_argument("--student_axis", type=int, default=1,
+                    help="1 (default): after the occupancy axis, distill "
+                         "the trained teacher field into a narrow student "
+                         "trunk (render/distill.py) and report its render "
+                         "throughput + dB vs the teacher's exact render. "
+                         "0: skip. Requires --occ_axis")
+    ap.add_argument("--student", default="4x128",
+                    help="student trunk architecture 'DxW'")
+    ap.add_argument("--student_steps", type=int, default=1200,
+                    help="distillation steps for the student axis")
     ap.add_argument("--stage_axes", type=int, default=1,
                     help="1 (default): also measure stage-1 (5120-ray) and "
                          "stage-2 (100k-point) train throughput at the "
@@ -375,6 +385,35 @@ def main():
                 "occ_empty_frac": round(
                     float(trainer._occ_stats["empty_frac"]), 4),
             }
+
+            if args.student_axis:
+                # student-trunk distillation axis (render/distill.py): the
+                # trained teacher field just benched above is distilled into
+                # a narrow student; quality is dB vs the TEACHER's exact
+                # render (img_exact), the same axis the occ numbers use.
+                from moco_flow_tpu.render.distill import distill_student
+                d, w = (int(v) for v in args.student.split("x"))
+                distill_student(trainer, depth=d, width=w,
+                                steps=args.student_steps)
+                jax.block_until_ready(trainer.params)
+                trainer._occ_grids.clear()
+                trainer.occupancy_grid(0)  # rebuild on the student's field
+                r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
+                                             reps, tighten_frame=0,
+                                             ray_skip=True)
+                r_stue, img_stue = time_render(trainer, rays, bg, rcfg_e,
+                                               reps, tighten_frame=0,
+                                               ray_skip=True)
+                occ.update({
+                    "render_student_rays_per_sec_per_chip":
+                        round(r_stu / trainer.world_size, 1),
+                    "render_student_psnr_vs_teacher_exact": psnr(img_stu),
+                    "render_student_exact_sampling_rays_per_sec_per_chip":
+                        round(r_stue / trainer.world_size, 1),
+                    "render_student_exact_sampling_psnr_vs_teacher_exact":
+                        psnr(img_stue),
+                    "student_arch": args.student,
+                })
     print(chatter.getvalue(), file=sys.stderr)
     out = {
         "metric": metric,

@@ -262,14 +262,23 @@ def _nerf_fold(params: dict, cfg: NeRFConfig, n_freqs: int,
     list. Differentiable (XLA chains gradients back through the fold)."""
     kc = 3 * n_freqs
     w_rep = None
-    if anneal is not None:
+    if anneal is not None and kc:
         w_rep = jnp.repeat(anneal, 3, total_repeat_length=kc)[:, None]
     ws = []
 
     def pe_rows(w):
         """Rows of a PE-consuming weight matrix: [x(3), sin(kc), cos(kc)];
         rows past 3+2kc are the static zero-padding of embed_padded and
-        multiply zeros — dropped."""
+        multiply zeros — dropped. n_freqs == 0 (the reference's shipped
+        init_nerf/init_nof quirk: RAW xyz zero-padded to in_channels_xyz)
+        runs the kernel as a synthetic 1-freq spec whose sin/cos rows are
+        constant zeros — Mosaic rejects 0-width vector loads, and the
+        constants give the pad rows exactly the zero gradient the true
+        model's zero inputs give them (the VJP through this fold drops
+        their cotangents)."""
+        if kc == 0:
+            z = jnp.zeros((3, w.shape[-1]), w.dtype)
+            return [w[:3], z, z]
         wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
         if w_rep is not None:
             wsin = wsin * w_rep
@@ -690,7 +699,7 @@ def nerf_fused_rays_t(params: dict, cfg: NeRFConfig, n_freqs: int,
     ws, p_extra = _nerf_fold(params, cfg, n_freqs, anneal,
                              extra_emb if has_extra else None, sigma_only)
     spec = _NerfSpec(
-        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        depth=cfg.depth, width=cfg.width, kc=3 * max(n_freqs, 1),
         skips=tuple(cfg.skips), sigma_only=sigma_only, has_extra=has_extra,
         dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         logscale=logscale)
@@ -720,10 +729,13 @@ def _nof_fold(params: dict, cfg: NoFConfig, n_freqs: int,
     the kernel as per-ray partials."""
     kc = 3 * n_freqs
     w_rep = None
-    if anneal is not None:
+    if anneal is not None and kc:
         w_rep = jnp.repeat(anneal, 3, total_repeat_length=kc)[:, None]
 
     def pe_rows(w):
+        if kc == 0:  # raw-xyz quirk — see _nerf_fold.pe_rows
+            z = jnp.zeros((3, w.shape[-1]), w.dtype)
+            return [w[:3], z, z]
         wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
         if w_rep is not None:
             wsin = wsin * w_rep
@@ -1410,7 +1422,7 @@ def nof_chain_rays_t(params: dict, cfg: NoFConfig, n_freqs: int,
     """
     dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     nof_spec = _NofSpec(
-        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        depth=cfg.depth, width=cfg.width, kc=3 * max(n_freqs, 1),
         skips=tuple(cfg.skips), use_quat=cfg.use_quat,
         dtype_name=dtype_name, logscale=logscale)
     spec = _ChainSpec(nof=nof_spec, chain_local=chain_local,
@@ -1569,7 +1581,7 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
     dtype_name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     nerf_ws = _cast_matrices(nerf_ws, dtype_name)
     nerf_spec = _NerfSpec(
-        depth=nerf_cfg.depth, width=nerf_cfg.width, kc=3 * nerf_freqs,
+        depth=nerf_cfg.depth, width=nerf_cfg.width, kc=3 * max(nerf_freqs, 1),
         skips=tuple(nerf_cfg.skips), sigma_only=sigma_only,
         has_extra=has_extra, dtype_name=dtype_name, logscale=nerf_logscale)
 
@@ -1579,7 +1591,7 @@ def render_pass_fused(params: dict, nerf_key: str, nerf_cfg: NeRFConfig,
                                      anneal_nof, ind_emb)
         nof_ws = _cast_matrices(nof_ws, dtype_name)
         nof_spec = _NofSpec(
-            depth=nof_cfg.depth, width=nof_cfg.width, kc=3 * nof_freqs,
+            depth=nof_cfg.depth, width=nof_cfg.width, kc=3 * max(nof_freqs, 1),
             skips=tuple(nof_cfg.skips), use_quat=nof_cfg.use_quat,
             dtype_name=dtype_name, logscale=nof_logscale)
 
@@ -1637,7 +1649,7 @@ def nof_fused_rays(params: dict, cfg: NoFConfig, n_freqs: int, logscale: bool,
         return out.reshape(1, -1, 3)[:, :s]
     ws, partials = _nof_fold(params, cfg, n_freqs, anneal, ind_emb)
     spec = _NofSpec(
-        depth=cfg.depth, width=cfg.width, kc=3 * n_freqs,
+        depth=cfg.depth, width=cfg.width, kc=3 * max(n_freqs, 1),
         skips=tuple(cfg.skips), use_quat=cfg.use_quat,
         dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         logscale=logscale)

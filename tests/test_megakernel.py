@@ -530,3 +530,69 @@ def test_render_rays_fused_stage1_and_testtime():
         for k in ox:
             np.testing.assert_allclose(of[k], ox[k], rtol=5e-4, atol=5e-4,
                                        err_msg=k)
+
+
+def test_zero_freq_raw_xyz_quirk():
+    """n_freqs == 0 (the SHIPPED init_nerf/init_nof quirk: raw xyz
+    zero-padded to in_channels_xyz, reference configs
+    init_nerf.yaml nerf_embedding_xyz N_freqs: 0) must run through the
+    fused kernels — Mosaic rejects 0-width vector loads, so the fold
+    substitutes constant-zero sin/cos rows under a synthetic 1-freq spec.
+    Forward AND gradients must match the XLA oracle, with zero gradient
+    into the pad rows (true model: pad inputs are zero)."""
+    cfg = NeRFConfig(depth=4, width=64, in_channels_xyz=27, skips=(2,),
+                     extra_feat_type="ind", extra_feat_dim=5)
+    params = init_nerf(jax.random.key(7), cfg)
+    n, s = 5, 16
+    xyz = jax.random.normal(jax.random.key(8), (n, s, 3))
+    ind = jax.random.uniform(jax.random.key(9), (n, 1)) * 2 - 1
+    extra = embed_padded(ind, EmbeddingSpec(2, in_channels=1),
+                         cfg.extra_feat_dim)
+
+    def ref(p, x):
+        x_emb = embed_padded(x.reshape(-1, 3), EmbeddingSpec(0),
+                             cfg.in_channels_xyz, None)
+        e = jnp.broadcast_to(extra[:, None, :],
+                             (n, s, extra.shape[-1])).reshape(n * s, -1)
+        return nerf_apply(p, x_emb, e, cfg).reshape(n, s, 4)
+
+    def fused(p, x):
+        return mk.nerf_fused_rays(p, cfg, 0, True, None, x, extra, False)
+
+    np.testing.assert_allclose(fused(params, xyz), ref(params, xyz),
+                               rtol=1e-5, atol=1e-5)
+
+    gr = jax.grad(lambda p, x: (ref(p, x) ** 2).sum(), argnums=(0, 1))(
+        params, xyz)
+    gf = jax.grad(lambda p, x: (fused(p, x) ** 2).sum(), argnums=(0, 1))(
+        params, xyz)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-4), gr, gf)
+    # pad rows (everything past the raw-xyz rows) get exactly zero gradient
+    np.testing.assert_array_equal(np.asarray(gf[0]["trunk"][0]["w"])[3:], 0.0)
+
+    # same quirk for the NoF kernel (init_nof.yaml nof_embedding_xyz
+    # N_freqs: 0)
+    ncfg = NoFConfig(depth=4, width=32, in_channels_xyz=21, skips=(2,),
+                     extra_feat_dim=21, use_quat=True)
+    nparams = init_nof(jax.random.key(10), ncfg)
+    ind_emb = embed_padded(ind, EmbeddingSpec(NOF_FREQS, in_channels=1),
+                           ncfg.extra_feat_dim)
+
+    def nof_ref(p, x):
+        x_emb = embed_padded(x.reshape(-1, 3), EmbeddingSpec(0),
+                             ncfg.in_channels_xyz, None)
+        e = jnp.broadcast_to(ind_emb[:, None, :],
+                             (n, s, ind_emb.shape[-1])).reshape(n * s, -1)
+        return nof_apply(p, jnp.concatenate([x_emb, e], axis=-1),
+                         x.reshape(-1, 3), ncfg).reshape(n, s, 3)
+
+    def nof_fused_(p, x):
+        return mk.nof_fused_rays(p, ncfg, 0, True, None, x, ind_emb)
+
+    np.testing.assert_allclose(nof_fused_(nparams, xyz), nof_ref(nparams, xyz),
+                               rtol=1e-5, atol=1e-5)
+    gr = jax.grad(lambda p: (nof_ref(p, xyz) ** 2).sum())(nparams)
+    gf = jax.grad(lambda p: (nof_fused_(p, xyz) ** 2).sum())(nparams)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-4), gr, gf)

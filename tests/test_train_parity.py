@@ -65,3 +65,53 @@ def test_stage1_training_parity(tmp_path):
     # the same image (measured ~74 dB at 20 steps, ~38 dB at 300)
     assert cross > 25.0, (cross, p_ref, p_jax)
     assert abs(p_ref - p_jax) < 1.5, (p_ref, p_jax)
+
+
+def test_stage3_training_parity(tmp_path):
+    """Short stage-3 leg of the parity harness: the ACTUAL PyTorch
+    MoCoFlowTrainer vs the rebuild, identical init weights, all losses
+    active (img + local/global chain + NoF L1 + alpha mask). The long
+    200-step run + fixed-point NoF evaluation is recorded in PARITY.md."""
+    import scripts.parity_train_e2e as P
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from scripts.drive_pipeline_e2e import write_scene_smpl_pickle
+    from scripts.ref_driver import import_reference
+
+    base = str(tmp_path)
+    root = os.path.join(base, "scene")
+    smpl = make_synthetic_scene(root, n_frames=P.N_FRAMES, size=P.SIZE,
+                                focal=P.FOCAL)
+    write_scene_smpl_pickle(smpl, os.path.join(base, "smpl", "data"))
+    ns = import_reference(os.path.join(base, "smpl"))
+
+    steps, n_rand = 25, 64
+    ref_cfg = P.stage_cfg(3, root, os.path.join(base, "ref"), steps, n_rand,
+                          ref_side=True)
+    ref_trainer = P.build_reference(ns, ref_cfg)
+    init = P.transfer_stage3(ns, ref_trainer)
+    ref_losses = P.train_reference(ref_trainer, steps)
+
+    jax_cfg = P.stage_cfg(3, root, os.path.join(base, "jax"), steps, n_rand,
+                          ref_side=False)
+    jax_trainer, jax_losses = P.run_rebuild(jax_cfg, smpl, init, steps)
+
+    # every reference loss exists on the rebuild side and tracks it
+    # (independent RNG streams: smoothed comparisons, not per-step)
+    for k, tol in (("img_loss", 0.3), ("nof_local", 0.5), ("nof_global", 0.5),
+                   ("alphas_mask", 0.5)):
+        r, j = P.smoothed(ref_losses, k), P.smoothed(jax_losses, k)
+        assert np.isfinite(j) and np.isfinite(r), (k, r, j)
+        assert abs(j - r) < tol * max(abs(r), 1e-2), (k, r, j)
+
+    ref_img, gt = P.ref_render_frame(ns, ref_trainer, 0, 3)
+    jax_img, gt2 = P.jax_render_frame(jax_trainer, 0)
+    np.testing.assert_allclose(gt, gt2, atol=1e-5)
+    cross = P.psnr(jax_img, ref_img)
+    assert cross > 22.0, (cross, P.psnr(ref_img, gt), P.psnr(jax_img, gt))
+
+    # fixed-point NoF eval: identical SMPL fixed points through both
+    # implementations' trained NoFs — the apples-to-apples motion metric
+    ev = P.nof_eval(ns, ref_trainer, jax_trainer, P.N_FRAMES)
+    for side in ("ref", "jax"):
+        assert np.isfinite(ev[f"{side}_bw"]), ev
+    assert ev["jax_bw"] < 3.0 * max(ev["ref_bw"], 1e-3), ev
