@@ -334,9 +334,14 @@ def main():
 
         stage = None
         if args.stage_axes and args.mode in ("train", "both"):
-            stage = bench_stage_axes(os.path.join(tmp, "scene"), tmp,
-                                     args.dtype, args.impl,
-                                     max(args.steps // 2, 5))
+            try:
+                stage = bench_stage_axes(os.path.join(tmp, "scene"), tmp,
+                                         args.dtype, args.impl,
+                                         max(args.steps // 2, 5))
+            except Exception as e:  # noqa: BLE001 — record, don't lose
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                stage = {"stage_axes_error": f"{type(e).__name__}: {e}"[:300]}
 
         occ = None
         if args.occ_axis and args.mode in ("render", "both"):
@@ -391,29 +396,37 @@ def main():
                 # trained teacher field just benched above is distilled into
                 # a narrow student; quality is dB vs the TEACHER's exact
                 # render (img_exact), the same axis the occ numbers use.
-                from moco_flow_tpu.render.distill import distill_student
-                d, w = (int(v) for v in args.student.split("x"))
-                distill_student(trainer, depth=d, width=w,
-                                steps=args.student_steps)
-                jax.block_until_ready(trainer.params)
-                trainer._occ_grids.clear()
-                trainer.occupancy_grid(0)  # rebuild on the student's field
-                r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
-                                             reps, tighten_frame=0,
-                                             ray_skip=True)
-                r_stue, img_stue = time_render(trainer, rays, bg, rcfg_e,
-                                               reps, tighten_frame=0,
-                                               ray_skip=True)
-                occ.update({
-                    "render_student_rays_per_sec_per_chip":
-                        round(r_stu / trainer.world_size, 1),
-                    "render_student_psnr_vs_teacher_exact": psnr(img_stu),
-                    "render_student_exact_sampling_rays_per_sec_per_chip":
-                        round(r_stue / trainer.world_size, 1),
-                    "render_student_exact_sampling_psnr_vs_teacher_exact":
-                        psnr(img_stue),
-                    "student_arch": args.student,
-                })
+                # An axis failure records student_error instead of losing
+                # the whole JSON line (everything above already measured).
+                try:
+                    from moco_flow_tpu.render.distill import distill_student
+                    d, w = (int(v) for v in args.student.split("x"))
+                    distill_student(trainer, depth=d, width=w,
+                                    steps=args.student_steps)
+                    jax.block_until_ready(trainer.params)
+                    trainer.occupancy_grid(0)  # rebuild on the student field
+                    r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
+                                                 reps, tighten_frame=0,
+                                                 ray_skip=True)
+                    r_stue, img_stue = time_render(trainer, rays, bg,
+                                                   rcfg_e, reps,
+                                                   tighten_frame=0,
+                                                   ray_skip=True)
+                    occ.update({
+                        "render_student_rays_per_sec_per_chip":
+                            round(r_stu / trainer.world_size, 1),
+                        "render_student_psnr_vs_teacher_exact":
+                            psnr(img_stu),
+                        "render_student_exact_sampling_rays_per_sec_per_chip":
+                            round(r_stue / trainer.world_size, 1),
+                        "render_student_exact_sampling_psnr_vs_teacher_exact":
+                            psnr(img_stue),
+                        "student_arch": args.student,
+                    })
+                except Exception as e:  # noqa: BLE001 — record, don't lose
+                    import traceback
+                    traceback.print_exc(file=sys.stderr)
+                    occ["student_error"] = f"{type(e).__name__}: {e}"[:300]
     print(chatter.getvalue(), file=sys.stderr)
     out = {
         "metric": metric,

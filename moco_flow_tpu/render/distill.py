@@ -153,6 +153,7 @@ def swap_render_nerf(trainer, nerf_cfg, nerf_params) -> None:
                           fine_NeRF=nerf_params)
     trainer._render_fns.clear()
     trainer._occ_grids.clear()
+    getattr(trainer, "_sigma_eval_fns", {}).clear()
     trainer._render_only = True
 
     def _refuse():

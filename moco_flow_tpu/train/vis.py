@@ -234,7 +234,10 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
     cache = getattr(trainer, "_sigma_eval_fns", None)
     if cache is None:
         cache = trainer._sigma_eval_fns = {}
-    eval_tiles = cache.get((warp, nerf_name))
+    # statics is part of the key: a render-NeRF swap (render/distill.py)
+    # changes the closed-over configs and a (warp, name)-only key would
+    # serve the old architecture's jitted closure against new params
+    eval_tiles = cache.get((warp, nerf_name, statics))
     if eval_tiles is None:
         def _eval_tiles(params, anneal, norm_idx, tiles):
             def one(pts):
@@ -245,7 +248,7 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
                                       pts, anneal)
                 return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
             return jax.lax.map(one, tiles)
-        eval_tiles = cache[(warp, nerf_name)] = jax.jit(_eval_tiles)
+        eval_tiles = cache[(warp, nerf_name, statics)] = jax.jit(_eval_tiles)
 
     lin = np.linspace(-extent, extent, n_grid, dtype=np.float32)
     xyz = np.stack(np.meshgrid(lin, lin, lin), -1).reshape(-1, 3)

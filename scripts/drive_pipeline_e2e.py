@@ -82,6 +82,14 @@ def main():
     ap.add_argument("--base", default="/tmp/pipe_e2e")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--stage_timeout", type=int, default=2700)
+    ap.add_argument("--occ_eval", type=int, default=1,
+                    help="after the pipeline: measure occupancy-grid "
+                         "skipping quality + throughput on the GENUINELY "
+                         "TRAINED stage-3 field (per-frame NoF warps) at "
+                         "--occ_reso — the trained-field counterpart of the "
+                         "distilled-field bench.py occ axis (PERF.md)")
+    ap.add_argument("--occ_reso", type=int, default=256)
+    ap.add_argument("--occ_res", type=int, default=64)
     args = ap.parse_args()
 
     from moco_flow_tpu.data.synthetic import make_synthetic_scene
@@ -126,7 +134,90 @@ def main():
     if r.returncode != 0:
         print(r.stderr[-3000:])
         sys.exit(1)
+
+    if args.occ_eval:
+        occ_eval_trained_field(base, smpl, reso=args.occ_reso,
+                               occ_res=args.occ_res)
     print("PIPELINE OK")
+
+
+def occ_eval_trained_field(base: str, smpl, reso: int = 256,
+                           occ_res: int = 64, frame: int = 1,
+                           reps: int = 3):
+    """Occupancy-skipping quality + throughput on the e2e-TRAINED stage-3
+    joint model with per-frame NoF warps (VERDICT round-3 item 7: the
+    distilled-field bench numbers need a trained-field counterpart).
+    Renders frame ``frame`` at reso^2 through the real test-time path:
+    exact bounds vs tighten+ray-skip, dB between them, both timed."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    cfg3 = yaml.safe_load(open(os.path.join(base, "s3.yaml")))
+    cfg3["dataloader"]["val_size"] = [reso, reso]
+    cfg3["model"]["occ_res"] = occ_res
+    cfg3["model"]["pretrained_nerf"] = None
+    cfg3["model"]["pretrained_nof"] = None
+    ck = sorted(glob.glob(os.path.join(base, "save", "t_moco", "*",
+                                       "ckpts", "final.npz")))[-1]
+    trainer = get_trainer(Config(cfg3, mode="test", make_dirs=False),
+                          smpl_data=smpl)
+    trainer.build_model(cfg3["model"])
+    trainer.load_ckpt(ck)
+    trainer.prepare_dataloader(cfg3["dataloader"])
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays(frame)
+    bg = jnp.ones((rays.shape[0], 3))
+    rcfg = trainer.rcfg_test
+
+    out_e = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
+                                        anneal=trainer.anneal())
+    typ = "fine" if "rgb_fine" in out_e else "coarse"
+    img_exact = np.asarray(out_e[f"rgb_{typ}"], np.float32)
+    jax.block_until_ready(out_e[f"rgb_{typ}"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out_e = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
+                                            anneal=trainer.anneal())
+        jax.block_until_ready(out_e[f"rgb_{typ}"])
+    r_exact = rays.shape[0] * reps / (time.perf_counter() - t0)
+
+    trainer.occupancy_grid(frame)  # cached grid builds outside the loop
+
+    def occ_once():
+        rr = trainer.tighten_rays(rays, frame, size=ds.size)
+        keep = trainer.occ_keep_mask()
+        return trainer.render_masked_image(rr, np.asarray(keep), bg, rcfg,
+                                           anneal=trainer.anneal())
+    out_o = occ_once()
+    img_occ = np.asarray(out_o[f"rgb_{typ}"], np.float32)
+    jax.block_until_ready(out_o[f"rgb_{typ}"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out_o = occ_once()
+        jax.block_until_ready(out_o[f"rgb_{typ}"])
+    r_occ = rays.shape[0] * reps / (time.perf_counter() - t0)
+
+    mse = float(np.mean((img_occ - img_exact) ** 2))
+    grid = trainer.occupancy_grid(frame)
+    rec = {
+        "metric": "trained_field_occ_eval",
+        "reso": reso, "occ_res": occ_res, "frame": frame,
+        "render_exact_rays_per_sec": round(r_exact, 1),
+        "render_occ_skip_rays_per_sec": round(r_occ, 1),
+        "psnr_occ_vs_exact": round(-10.0 * float(np.log10(mse + 1e-12)), 1),
+        "empty_frac": round(float(trainer._occ_stats["empty_frac"]), 4),
+        "grid_occupancy_frac": round(grid.occupancy_fraction, 4),
+        "fine_budget": rcfg.fine_budget, "coarse_probe": rcfg.coarse_probe,
+    }
+    print("OCC_EVAL " + json.dumps(rec), flush=True)
+    return rec
 
 
 if __name__ == "__main__":

@@ -210,10 +210,10 @@ def ref_render_frame(ns, trainer, frame: int, stage: int):
 # rebuild side
 # ---------------------------------------------------------------------------
 
-def run_rebuild(cfg_dict, smpl, params_init, steps: int):
+def run_rebuild(cfg_dict, smpl, params_init, steps: int, seed: int = 0):
     from moco_flow_tpu.train import get_trainer
     from moco_flow_tpu.utils.config import Config
-    config = Config(cfg_dict, mode="train", job_name="jax")
+    config = Config(cfg_dict, mode="train", job_name="jax", seed=seed)
     trainer = get_trainer(config, smpl_data=smpl)
     if params_init is not None:
         trainer.params = params_init
@@ -325,10 +325,10 @@ def smoothed(losses, key, frac=0.2):
     return float(np.mean(tail))
 
 
-def compare_stage(stage, ns, root, smpl, save, steps, n_rand):
+def compare_stage(stage, ns, root, smpl, save, steps, n_rand, seed=0):
     ref_cfg = stage_cfg(stage, root, os.path.join(save, "ref"), steps,
                         n_rand, ref_side=True)
-    ref_trainer = build_reference(ns, ref_cfg)
+    ref_trainer = build_reference(ns, ref_cfg, seed=seed)
     # snapshot the torch init into a rebuild pytree BEFORE training mutates
     # the reference nets in place
     init = (transfer_stage1 if stage == 1 else transfer_stage3)(
@@ -342,7 +342,8 @@ def compare_stage(stage, ns, root, smpl, save, steps, n_rand):
           "(same init weights)", flush=True)
     jax_cfg = stage_cfg(stage, root, os.path.join(save, "jax"), steps,
                         n_rand, ref_side=False)
-    jax_trainer, jax_losses = run_rebuild(jax_cfg, smpl, init, steps)
+    jax_trainer, jax_losses = run_rebuild(jax_cfg, smpl, init, steps,
+                                          seed=seed)
 
     ref_img, gt = ref_render_frame(ns, ref_trainer, 0, stage)
     jax_img, gt2 = jax_render_frame(jax_trainer, 0)
@@ -381,6 +382,10 @@ def main():
     ap.add_argument("--out", default="/tmp/parity_train_report.json")
     ap.add_argument("--base", default=None)
     ap.add_argument("--stages", default="1,3")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/RNG seed for BOTH sides (multi-seed NoF-gap "
+                         "study: run with several seeds and compare the "
+                         "nof_eval_fixed_points spread — PARITY.md)")
     args = ap.parse_args()
 
     base = args.base or tempfile.mkdtemp(prefix="parity_train_")
@@ -422,7 +427,8 @@ def main():
         steps = args.steps if stage == 1 else (args.steps3 or args.steps)
         report[f"stage{stage}"] = compare_stage(
             stage, ns, root1 if stage == 1 else root, smpl,
-            os.path.join(base, f"s{stage}"), steps, args.n_rand)
+            os.path.join(base, f"s{stage}"), steps, args.n_rand,
+            seed=args.seed)
         print(json.dumps(report[f"stage{stage}"], indent=2), flush=True)
 
     with open(args.out, "w") as f:

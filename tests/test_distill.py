@@ -109,9 +109,18 @@ def test_swap_render_nerf_clears_caches(tmp_path):
     t.tighten_rays(rays, 0, size=t.val_dataset.size)
     t.render_rays_chunked(rays[:8], jnp.ones((8, 3)), t.rcfg_test,
                           anneal=t.anneal(), chunk=8)
-    assert t._occ_grids and t._render_fns
+    from moco_flow_tpu.train.vis import sigma_grid
+    sigma_grid(t, 0, n_grid=8, chunk=512)  # populate the jitted-eval cache
+    assert t._occ_grids and t._render_fns and t._sigma_eval_fns
     from moco_flow_tpu.nn.nerf import init_nerf
-    s_cfg = student_config(t.statics.fine, depth=2, width=64)
+    s_cfg = student_config(t.statics.fine, depth=4, width=48)
     sp = init_nerf(jax.random.key(0), s_cfg)
     swap_render_nerf(t, s_cfg, sp)
     assert not t._occ_grids and not t._render_fns
+    # the sigma-eval path must rebuild against the STUDENT architecture
+    # (a stale closure over the teacher config crashed the first TPU
+    # student-axis bench with a skip-concat shape mismatch)
+    g = sigma_grid(t, 0, n_grid=8, chunk=512)
+    assert np.isfinite(g).all()
+    # and the occupancy grid rebuilds through it (the crashing call chain)
+    t.tighten_rays(rays, 0, size=t.val_dataset.size)
