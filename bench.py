@@ -148,17 +148,18 @@ def bench_stage_axes(root, tmp, dtype, impl, steps: int) -> dict:
     t2 = get_trainer(Config(_stage2_config(os.path.join(tmp, "scene_s1"),
                                            os.path.join(tmp, "log_s2")),
                             mode="train"), smpl_data=smpl)
+    from moco_flow_tpu.utils.sync import fence, fence_floor
     for _ in range(3):
         t2.train_func()
         t2.clock.tick(t2.world_size)
-    jax.block_until_ready(t2.params)
+    floor = fence_floor(t2.params)
     t0 = time.perf_counter()
     for _ in range(steps):
         t2.train_func()
         t2.clock.tick(t2.world_size)
-    jax.block_until_ready(t2.params)
+    fence(t2.params)
     n_pts = t2.config["model"]["N_sampled"]
-    s2 = n_pts * steps / (time.perf_counter() - t0)
+    s2 = n_pts * steps / (time.perf_counter() - t0 - floor)
     return {
         "train_stage1_rays_per_sec_per_chip": round(s1, 1),
         "train_stage2_pts_per_sec_per_chip": round(s2, 1),
@@ -166,17 +167,22 @@ def bench_stage_axes(root, tmp, dtype, impl, steps: int) -> dict:
 
 
 def bench_train(trainer, steps: int) -> float:
-    import jax
+    # NOTE: every timed loop here fences with utils.sync.fence (a real
+    # one-element readback), NOT bare block_until_ready — the latter has
+    # returned without waiting on this backend and once produced an
+    # impossible 11.8M rays/s render axis. The readback's ~28 ms tunnel
+    # round-trip is measured per loop and subtracted.
+    from moco_flow_tpu.utils.sync import fence, fence_floor
     for _ in range(3):  # warmup / compile
         trainer.train_func()
         trainer.clock.tick(trainer.world_size)
-    jax.block_until_ready(trainer.params)
+    floor = fence_floor(trainer.params)
     t0 = time.perf_counter()
     for _ in range(steps):
         trainer.train_func()
         trainer.clock.tick(trainer.world_size)
-    jax.block_until_ready(trainer.params)
-    dt = time.perf_counter() - t0
+    fence(trainer.params)
+    dt = time.perf_counter() - t0 - floor
     n_rand = trainer.config["model"]["N_rand"]
     return n_rand * trainer.world_size * steps / dt
 
@@ -212,13 +218,15 @@ def bench_render(trainer, steps: int, rcfg=None, occupancy=False,
                                            anneal=trainer.anneal(),
                                            chunk=16384)
 
+    from moco_flow_tpu.utils.sync import fence, fence_floor
     out = render_once()
-    jax.block_until_ready(out)
+    floor = fence_floor(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = render_once()
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(out)  # serializes iterations when it works
+    fence(out)  # the fence that can't lie (see utils/sync.py)
+    dt = time.perf_counter() - t0 - floor
     return rays_raw.shape[0] * steps / dt
 
 

@@ -52,13 +52,15 @@ def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None,
                                            anneal=trainer.anneal(),
                                            chunk=16384)
 
+    from moco_flow_tpu.utils.sync import fence, fence_floor
     out = render_once()
-    jax.block_until_ready(out)
+    floor = fence_floor(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = render_once()
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(out)  # serializes iterations when it works
+    fence(out)  # readback fence — block_until_ready can lie (utils/sync.py)
+    dt = time.perf_counter() - t0 - floor
     typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
     return rays.shape[0] * steps / dt, np.asarray(out[typ])
 

@@ -176,17 +176,19 @@ def occ_eval_trained_field(base: str, smpl, reso: int = 256,
     bg = jnp.ones((rays.shape[0], 3))
     rcfg = trainer.rcfg_test
 
+    from moco_flow_tpu.utils.sync import fence, fence_floor
     out_e = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
                                         anneal=trainer.anneal())
     typ = "fine" if "rgb_fine" in out_e else "coarse"
     img_exact = np.asarray(out_e[f"rgb_{typ}"], np.float32)
-    jax.block_until_ready(out_e[f"rgb_{typ}"])
+    floor = fence_floor(out_e)
     t0 = time.perf_counter()
     for _ in range(reps):
         out_e = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
                                             anneal=trainer.anneal())
         jax.block_until_ready(out_e[f"rgb_{typ}"])
-    r_exact = rays.shape[0] * reps / (time.perf_counter() - t0)
+    fence(out_e)  # readback fence — block_until_ready can lie (utils/sync.py)
+    r_exact = rays.shape[0] * reps / (time.perf_counter() - t0 - floor)
 
     trainer.occupancy_grid(frame)  # cached grid builds outside the loop
 
@@ -197,12 +199,13 @@ def occ_eval_trained_field(base: str, smpl, reso: int = 256,
                                            anneal=trainer.anneal())
     out_o = occ_once()
     img_occ = np.asarray(out_o[f"rgb_{typ}"], np.float32)
-    jax.block_until_ready(out_o[f"rgb_{typ}"])
+    floor = fence_floor(out_o)
     t0 = time.perf_counter()
     for _ in range(reps):
         out_o = occ_once()
         jax.block_until_ready(out_o[f"rgb_{typ}"])
-    r_occ = rays.shape[0] * reps / (time.perf_counter() - t0)
+    fence(out_o)  # readback fence (utils/sync.py)
+    r_occ = rays.shape[0] * reps / (time.perf_counter() - t0 - floor)
 
     mse = float(np.mean((img_occ - img_exact) ** 2))
     grid = trainer.occupancy_grid(frame)
