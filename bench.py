@@ -203,28 +203,32 @@ def bench_render(trainer, steps: int, rcfg=None, occupancy=False,
     if occupancy:
         trainer.occupancy_grid(0)  # grid build amortizes over frame views
 
-    def render_once():
-        # the per-render host cost of bound tightening + masking IS part of
-        # the timed loop (the grid itself is cached, as in a video render)
-        rays = (trainer.tighten_rays(rays_raw, 0, size=ds.size)
-                if occupancy else rays_raw)
-        bg = jnp.ones((rays.shape[0], 3))
-        keep = trainer.occ_keep_mask() if occupancy and ray_skip else None
-        if keep is not None:
-            return trainer.render_masked_image(rays, keep, bg, rcfg,
-                                               anneal=trainer.anneal(),
-                                               chunk=16384)
-        return trainer.render_rays_chunked(rays, bg, rcfg,
-                                           anneal=trainer.anneal(),
-                                           chunk=16384)
-
     from moco_flow_tpu.utils.sync import fence, fence_floor
-    out = render_once()
+    anneal = trainer.anneal()
+    bg = jnp.ones((rays_raw.shape[0], 3))
+
+    def run(n):
+        """n views through the production path: the pipelined driver when
+        occupancy is in play (the per-view tighten+mask cost IS timed — the
+        pipeline overlaps it with device renders exactly as train/vis.py
+        does in a video render; the grid itself is cached per frame), plain
+        chunked renders otherwise. Returns the LAST view's outputs."""
+        if not occupancy:
+            out = None
+            for _ in range(n):
+                out = trainer.render_rays_chunked(rays_raw, bg, rcfg,
+                                                  anneal=anneal, chunk=16384)
+            return out
+        jobs = ((rays_raw, 0, bg) for _ in range(n))
+        for out in trainer.render_views_pipelined(jobs, rcfg, anneal=anneal,
+                                                  chunk=16384, skip=ray_skip):
+            pass
+        return out
+
+    out = run(1)  # warmup / compile
     floor = fence_floor(out)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = render_once()
-        jax.block_until_ready(out)  # serializes iterations when it works
+    out = run(steps)
     fence(out)  # the fence that can't lie (see utils/sync.py)
     dt = time.perf_counter() - t0 - floor
     return rays_raw.shape[0] * steps / dt
@@ -355,86 +359,14 @@ def main():
         if args.occ_axis and args.mode in ("render", "both"):
             # occupancy axis LAST: the distillation overwrites the NeRF
             # params (and disables c2f), which must not affect the train /
-            # plain-render axes above
-            import dataclasses
-
-            import numpy as np
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "scripts"))
-            from bench_occupancy import distill_sharp_field, time_render
-            import jax
-            import jax.numpy as jnp
-            trainer.config.raw["model"]["occ_res"] = 64
-            distill_sharp_field(trainer, trainer.smpl_data, steps=250)
-            jax.block_until_ready(trainer.params)
-            ds = trainer.val_dataset
-            rays, _ = ds.frame_rays(0)
-            bg = jnp.ones((rays.shape[0], 3))
-            rcfg_b = trainer.rcfg_test
-            rcfg_e = dataclasses.replace(rcfg_b, fine_budget=0,
-                                         coarse_probe=0)
-            reps = max(args.steps // 4, 3)
-            _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
-            trainer.occupancy_grid(0)  # build outside the timed loop
-            r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
-                                           tighten_frame=0, ray_skip=True)
-            r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
-                                             reps, tighten_frame=0,
-                                             ray_skip=True)
-
-            def psnr(img):
-                mse = float(np.mean((np.asarray(img, np.float32)
-                                     - np.asarray(img_exact,
-                                                  np.float32)) ** 2))
-                return round(-10.0 * float(np.log10(mse + 1e-12)), 1)
-
-            occ = {
-                "render_occ_rays_per_sec_per_chip":
-                    round(r_skip / trainer.world_size, 1),
-                "render_occ_psnr_vs_exact": psnr(img_skip),
-                "render_occ_exact_sampling_rays_per_sec_per_chip":
-                    round(r_eskip / trainer.world_size, 1),
-                "render_occ_exact_sampling_psnr_vs_exact": psnr(img_eskip),
-                "occ_empty_frac": round(
-                    float(trainer._occ_stats["empty_frac"]), 4),
-            }
-
-            if args.student_axis:
-                # student-trunk distillation axis (render/distill.py): the
-                # trained teacher field just benched above is distilled into
-                # a narrow student; quality is dB vs the TEACHER's exact
-                # render (img_exact), the same axis the occ numbers use.
-                # An axis failure records student_error instead of losing
-                # the whole JSON line (everything above already measured).
-                try:
-                    from moco_flow_tpu.render.distill import distill_student
-                    d, w = (int(v) for v in args.student.split("x"))
-                    distill_student(trainer, depth=d, width=w,
-                                    steps=args.student_steps)
-                    jax.block_until_ready(trainer.params)
-                    trainer.occupancy_grid(0)  # rebuild on the student field
-                    r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
-                                                 reps, tighten_frame=0,
-                                                 ray_skip=True)
-                    r_stue, img_stue = time_render(trainer, rays, bg,
-                                                   rcfg_e, reps,
-                                                   tighten_frame=0,
-                                                   ray_skip=True)
-                    occ.update({
-                        "render_student_rays_per_sec_per_chip":
-                            round(r_stu / trainer.world_size, 1),
-                        "render_student_psnr_vs_teacher_exact":
-                            psnr(img_stu),
-                        "render_student_exact_sampling_rays_per_sec_per_chip":
-                            round(r_stue / trainer.world_size, 1),
-                        "render_student_exact_sampling_psnr_vs_teacher_exact":
-                            psnr(img_stue),
-                        "student_arch": args.student,
-                    })
-                except Exception as e:  # noqa: BLE001 — record, don't lose
-                    import traceback
-                    traceback.print_exc(file=sys.stderr)
-                    occ["student_error"] = f"{type(e).__name__}: {e}"[:300]
+            # plain-render axes above. A failure here records occ_axis_error
+            # instead of losing every axis already measured.
+            try:
+                occ = _occ_axes(args, trainer)
+            except Exception as e:  # noqa: BLE001 — record, don't lose
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                occ = {"occ_axis_error": f"{type(e).__name__}: {e}"[:300]}
     print(chatter.getvalue(), file=sys.stderr)
     out = {
         "metric": metric,
@@ -460,6 +392,89 @@ def main():
     if occ is not None:
         out.update(occ)
     print(json.dumps(out))
+
+
+def _occ_axes(args, trainer) -> dict:
+    """The occupancy + student render axes (see --occ_axis/--student_axis)."""
+    import dataclasses
+
+    import numpy as np
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_occupancy import distill_sharp_field, time_render
+    import jax
+    import jax.numpy as jnp
+    trainer.config.raw["model"]["occ_res"] = 64
+    distill_sharp_field(trainer, trainer.smpl_data, steps=250)
+    jax.block_until_ready(trainer.params)
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays(0)
+    bg = jnp.ones((rays.shape[0], 3))
+    rcfg_b = trainer.rcfg_test
+    rcfg_e = dataclasses.replace(rcfg_b, fine_budget=0,
+                                 coarse_probe=0)
+    reps = max(args.steps // 4, 3)
+    _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
+    trainer.occupancy_grid(0)  # build outside the timed loop
+    r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
+                                   tighten_frame=0, ray_skip=True)
+    r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
+                                     reps, tighten_frame=0,
+                                     ray_skip=True)
+
+    def psnr(img):
+        mse = float(np.mean((np.asarray(img, np.float32)
+                             - np.asarray(img_exact, np.float32)) ** 2))
+        return round(-10.0 * float(np.log10(mse + 1e-12)), 1)
+
+    occ = {
+        "render_occ_rays_per_sec_per_chip":
+            round(r_skip / trainer.world_size, 1),
+        "render_occ_psnr_vs_exact": psnr(img_skip),
+        "render_occ_exact_sampling_rays_per_sec_per_chip":
+            round(r_eskip / trainer.world_size, 1),
+        "render_occ_exact_sampling_psnr_vs_exact": psnr(img_eskip),
+        "occ_empty_frac": round(
+            float(trainer._occ_stats["empty_frac"]), 4),
+    }
+
+    if args.student_axis:
+        # student-trunk distillation axis (render/distill.py): the
+        # trained teacher field just benched above is distilled into
+        # a narrow student; quality is dB vs the TEACHER's exact
+        # render (img_exact), the same axis the occ numbers use.
+        # An axis failure records student_error instead of losing
+        # the whole JSON line (everything above already measured).
+        try:
+            from moco_flow_tpu.render.distill import distill_student
+            d, w = (int(v) for v in args.student.split("x"))
+            distill_student(trainer, depth=d, width=w,
+                            steps=args.student_steps)
+            jax.block_until_ready(trainer.params)
+            trainer.occupancy_grid(0)  # rebuild on the student field
+            r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
+                                         reps, tighten_frame=0,
+                                         ray_skip=True)
+            r_stue, img_stue = time_render(trainer, rays, bg,
+                                           rcfg_e, reps,
+                                           tighten_frame=0,
+                                           ray_skip=True)
+            occ.update({
+                "render_student_rays_per_sec_per_chip":
+                    round(r_stu / trainer.world_size, 1),
+                "render_student_psnr_vs_teacher_exact":
+                    psnr(img_stu),
+                "render_student_exact_sampling_rays_per_sec_per_chip":
+                    round(r_stue / trainer.world_size, 1),
+                "render_student_exact_sampling_psnr_vs_teacher_exact":
+                    psnr(img_stue),
+                "student_arch": args.student,
+            })
+        except Exception as e:  # noqa: BLE001 — record, don't lose
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            occ["student_error"] = f"{type(e).__name__}: {e}"[:300]
+    return occ
 
 
 if __name__ == "__main__":

@@ -65,27 +65,49 @@ def decode_results(res: dict, img_size):
     return img, depth
 
 
+def _test_rcfg(trainer, use_nof: bool):
+    if not use_nof and hasattr(trainer, "rcfg_test_cano"):
+        return trainer.rcfg_test_cano
+    return trainer.rcfg_test
+
+
 def _render_view(trainer, dataset, idx, c2w4=None, white_bkgd=False,
                  use_nof=True):
     rays, mask = dataset.frame_rays(idx, c2w4=c2w4)
     # occupancy-grid depth tightening (off unless model.occ_res > 0); the
     # grid is per-frame (canonical when the NoF warp is off) so novel views
-    # of the same frame reuse it
-    rays = trainer.tighten_rays(rays, idx if use_nof else -1,
-                                size=dataset.size)
-    keep = trainer.occ_keep_mask()
-    if keep is not None:
-        # whole-ray empty-space skipping: drop rays whose occupancy probes
-        # provably hit nothing (they composite to background anyway)
-        mask = (mask & keep) if mask is not None else keep
+    # of the same frame reuse it. The keep mask drops rays whose occupancy
+    # probes provably hit nothing (they composite to background anyway).
     bg = jnp.ones_like(dataset.bkgd_img) if white_bkgd else dataset.bkgd_img
-    rcfg = trainer.rcfg_test if use_nof and hasattr(trainer, "rcfg_test") \
-        else getattr(trainer, "rcfg_test_cano", trainer.rcfg_test)
-    if not use_nof and hasattr(trainer, "rcfg_test_cano"):
-        rcfg = trainer.rcfg_test_cano
-    res = trainer.render_masked_image(rays, mask, bg, rcfg,
-                                      anneal=trainer.anneal())
+    handle = trainer.prepare_view(rays, idx if use_nof else -1,
+                                  extra_mask=mask, size=dataset.size)
+    res = trainer.commit_view(handle, bg, _test_rcfg(trainer, use_nof),
+                              anneal=trainer.anneal())
     return decode_results(res, dataset.size)
+
+
+def _render_views(trainer, dataset, views, use_nof=True):
+    """Render ``views`` = [(idx, c2w4, white_bkgd), ...] through the
+    pipelined path (train/base.py::render_views_pipelined): view i+1's
+    occupancy programs are dispatched before view i's mask readback, and
+    the decode (image fetch) lags one view behind the render dispatch, so
+    every host round trip overlaps device work. Yields (img, depth)."""
+    def jobs():
+        for idx, c2w4, white in views:
+            rays, mask = dataset.frame_rays(idx, c2w4=c2w4)
+            bg = (jnp.ones_like(dataset.bkgd_img) if white
+                  else dataset.bkgd_img)
+            yield (rays, idx if use_nof else -1, bg, mask)
+
+    rcfg = _test_rcfg(trainer, use_nof)
+    anneal = trainer.anneal()
+    prev = None
+    for out in trainer.render_views_pipelined(jobs(), rcfg, anneal=anneal):
+        if prev is not None:
+            yield decode_results(prev, dataset.size)
+        prev = out
+    if prev is not None:
+        yield decode_results(prev, dataset.size)
 
 
 def visualize_frame(trainer, frame_idx: int, use_nof=True,
@@ -134,9 +156,9 @@ def visualize_spherical(trainer, frame_idx: int, use_nof=True, save_path=None):
     # no makedirs here: save_image creates directories itself and is
     # process-0-gated — non-main hosts must not touch the filesystem
     frames = []
-    for i, pose in enumerate(ds.spherical_poses):
-        img, depth = _render_view(trainer, ds, idx, c2w4=pose,
-                                  white_bkgd=True, use_nof=nof)
+    views = [(idx, pose, True) for pose in ds.spherical_poses]
+    for i, (img, depth) in enumerate(_render_views(trainer, ds, views,
+                                                   use_nof=nof)):
         strip = np.concatenate([img, depth], axis=1)
         save_image(osp.join(img_dir, f"{i:04d}.png"), strip)
         frames.append((np.clip(strip, 0, 1) * 255).astype(np.uint8))
@@ -153,18 +175,26 @@ def visualize_video(trainer, vis_novel_view=True, save_path=None):
         f"videos_epoch_{trainer.clock.epoch}_step_{trainer.clock.step}", "images")
     # no makedirs here: save_image creates directories itself and is
     # process-0-gated — non-main hosts must not touch the filesystem
+    # interleave (recon view, novel view) per frame through ONE pipelined
+    # stream so every view's mask readback hides under the previous render
+    novel = vis_novel_view and hasattr(ds, "spherical_poses")
+    views = []
+    for idx in range(ds.num_frames):
+        views.append((idx, None, False))
+        if novel:
+            views.append((idx, ds.spherical_poses[idx % len(
+                ds.spherical_poses)], True))
+    rendered = _render_views(trainer, ds, views, use_nof=True)
     frames = []
     for idx in range(ds.num_frames):
-        img, depth = _render_view(trainer, ds, idx, use_nof=True)
+        img, depth = next(rendered)
         panels = []
         gt = ds.frame_rgbs(idx)
         if gt is not None:
             panels.append(np.asarray(gt).reshape(*ds.size, 3))
         panels += [img, depth]
-        if vis_novel_view and hasattr(ds, "spherical_poses"):
-            pose = ds.spherical_poses[idx % len(ds.spherical_poses)]
-            nimg, ndepth = _render_view(trainer, ds, idx, c2w4=pose,
-                                        white_bkgd=True, use_nof=True)
+        if novel:
+            nimg, ndepth = next(rendered)
             panels += [nimg, ndepth]
         strip = np.concatenate(panels, axis=1)
         save_image(osp.join(img_dir, f"{idx:04d}.png"), strip)
@@ -195,9 +225,9 @@ def visualize_bullet_time(trainer, frame_idx: int, save_path=None,
     # no makedirs here: save_image creates directories itself and is
     # process-0-gated — non-main hosts must not touch the filesystem
     frames = []
-    for i, pose in enumerate(poses):
-        img, depth = _render_view(trainer, ds, idx, c2w4=pose,
-                                  white_bkgd=True, use_nof=nof)
+    views = [(idx, pose, True) for pose in poses]
+    for i, (img, depth) in enumerate(_render_views(trainer, ds, views,
+                                                   use_nof=nof)):
         strip = np.concatenate([img, depth], axis=1)
         save_image(osp.join(img_dir, f"{i:04d}.png"), strip)
         frames.append((np.clip(strip, 0, 1) * 255).astype(np.uint8))

@@ -39,26 +39,30 @@ def time_render(trainer, rays, bg, rcfg, steps, tighten_frame=None,
     actual test.py frame path."""
     import jax
 
-    def render_once():
-        rr = (trainer.tighten_rays(rays, tighten_frame,
-                                   size=trainer.val_dataset.size)
-              if tighten_frame is not None else rays)
-        keep = trainer.occ_keep_mask() if ray_skip else None
-        if keep is not None:
-            return trainer.render_masked_image(rr, keep, bg, rcfg,
-                                               anneal=trainer.anneal(),
-                                               chunk=16384)
-        return trainer.render_rays_chunked(rr, bg, rcfg,
-                                           anneal=trainer.anneal(),
-                                           chunk=16384)
-
     from moco_flow_tpu.utils.sync import fence, fence_floor
-    out = render_once()
+    anneal = trainer.anneal()
+
+    def run(n):
+        """n views through the production path: the pipelined driver when
+        occupancy is in play (train/base.py::render_views_pipelined — the
+        same double-buffered stream train/vis.py uses), plain chunked
+        renders otherwise. Returns the LAST view's output dict."""
+        if tighten_frame is None:
+            out = None
+            for _ in range(n):
+                out = trainer.render_rays_chunked(rays, bg, rcfg,
+                                                  anneal=anneal, chunk=16384)
+            return out
+        jobs = ((rays, tighten_frame, bg) for _ in range(n))
+        for out in trainer.render_views_pipelined(jobs, rcfg, anneal=anneal,
+                                                  chunk=16384, skip=ray_skip):
+            pass
+        return out
+
+    out = run(1)  # warmup / compile
     floor = fence_floor(out)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = render_once()
-        jax.block_until_ready(out)  # serializes iterations when it works
+    out = run(steps)
     fence(out)  # readback fence — block_until_ready can lie (utils/sync.py)
     dt = time.perf_counter() - t0 - floor
     typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"

@@ -283,3 +283,50 @@ def test_beyond_measured_shell_is_unknown():
                           outer_sig=0.0)
     _, st2 = tighten_ray_bounds(grid2, rays, (h, w))
     assert st2["empty_frac"] == 1.0
+
+
+def test_pipelined_render_matches_sequential(tmp_path):
+    """render_views_pipelined (the double-buffered driver train/vis.py and
+    the bench use) must produce the same images as committing each view
+    one-shot, across frames, skip on/off, and an extra hull mask."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "occ_threshold": 5.0})
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl)
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+
+    hull = np.zeros((24 * 24,), bool)
+    hull[::2] = True  # an extra caller mask, like the dataset's AABB hull
+    jobs = []
+    for frame in (0, 1, 0):
+        rays, _ = ds.frame_rays(frame)
+        bg = jnp.ones((rays.shape[0], 3)) * (0.2 + 0.3 * frame)
+        jobs.append((rays, frame, bg, hull if frame == 1 else None))
+
+    for skip in (True, False):
+        seq = [trainer.commit_view(
+                   trainer.prepare_view(r, f, extra_mask=m, skip=skip),
+                   bg, rcfg, anneal=anneal)
+               for (r, f, bg, m) in jobs]
+        pip = list(trainer.render_views_pipelined(iter(jobs), rcfg,
+                                                  anneal=anneal, skip=skip))
+        assert len(pip) == len(seq)
+        for a, b in zip(seq, pip):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]),
+                                              err_msg=f"skip={skip} {k}")
