@@ -90,6 +90,15 @@ def main():
                          "distilled-field bench.py occ axis (PERF.md)")
     ap.add_argument("--occ_reso", type=int, default=256)
     ap.add_argument("--occ_res", type=int, default=64)
+    ap.add_argument("--eval_budget", type=int, default=24,
+                    help="test.py --fine_budget for the eval (0 = exact; "
+                         "budget/probe need the fused TPU path)")
+    ap.add_argument("--eval_probe", type=int, default=6)
+    ap.add_argument("--occ_only", action="store_true",
+                    help="skip training and run only the trained-field "
+                         "occupancy eval against an existing --base (the "
+                         "scene generator is seed-deterministic, so the "
+                         "SMPL body is rebuilt identically)")
     args = ap.parse_args()
 
     from moco_flow_tpu.data.synthetic import make_synthetic_scene
@@ -101,6 +110,12 @@ def main():
     smpl = make_synthetic_scene(root, n_frames=6, size=128, focal=150.0)
     smpl_dir = os.path.join(base, "smpl")
     write_scene_smpl_pickle(smpl, smpl_dir)
+
+    if args.occ_only:
+        occ_eval_trained_field(base, smpl, reso=args.occ_reso,
+                               occ_res=args.occ_res)
+        print("OCC EVAL OK")
+        return
 
     save = os.path.join(base, "save")
     env = dict(os.environ, SMPL_MODEL_DIR=smpl_dir)
@@ -118,15 +133,31 @@ def main():
     c3 = quiet(moco_config(root, save))
     c3["model"]["pretrained_nerf"] = ck1
     c3["model"]["pretrained_nof"] = ck2
+    # The reference's softplus(stage-1) -> relu(stage-3) activation switch
+    # (init_nerf.yaml:36 vs c2f.yaml:42) relies on the stage-1 field's raw
+    # sigma being >> 0 inside the body, which only holds after long
+    # training (relu ~= softplus there). At toy scale the transplanted
+    # field's raw sigma is ~<= 0, and under relu that is a DEAD field:
+    # relu passes no gradient at raw<=0, so stage 3 can never regrow
+    # density. Measured on this pipeline: the old e2e's "PSNR 18.45"
+    # exactly equaled the pure-white-background baseline (18.3-18.6) —
+    # the model rendered nothing. Keep the toy pipeline on softplus so
+    # the e2e measures actual learning; production configs keep the
+    # reference's relu (PARITY.md "activation transplant" note).
+    c3["model"]["nerf_activate_type"] = "softplus"
+    # scale the c2f freeze/anneal window to the toy run length
+    # (production: 5k/1.005M iters of 2.2M total)
+    c3["trainer"]["coarse2fine_start_iter"] = max(1, args.steps // 10)
+    c3["trainer"]["coarse2fine_end_iter"] = max(2, args.steps // 3)
     run_stage(c3, "s3", base, save, env, args.stage_timeout)
 
     r = subprocess.run(
         [sys.executable, "test.py", "-c", os.path.join(base, "s3.yaml"),
          "--render_gt", "--reso", "128", "--eval_metrics",
-         "--eval_max_frames", "2", "--fine_budget", "24",
+         "--eval_max_frames", "2", "--fine_budget", str(args.eval_budget),
          # probe must divide the scene's n_samples (12) — render/volume.py
          # validates loudly since round 3 (8 used to silently stride to 1)
-         "--coarse_probe", "6"],
+         "--coarse_probe", str(args.eval_probe)],
         cwd=REPO, env=env, capture_output=True, text=True,
         timeout=args.stage_timeout)
     print("== test.py rc:", r.returncode, flush=True)
@@ -135,10 +166,43 @@ def main():
         print(r.stderr[-3000:])
         sys.exit(1)
 
+    # Anti-trivial gate: the eval PSNR must beat rendering NOTHING (pure
+    # background) by a clear margin, else the pipeline "passing" proves
+    # only that it runs, not that it learns. (The pre-round-4 e2e scored
+    # exactly the background baseline for two rounds — dead-relu field.)
+    import json as _json
+    psnr = None
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"psnr"' in line:
+            psnr = _json.loads(line)["psnr"]
+    assert psnr is not None, "no eval PSNR in test.py output"
+    base_psnr = white_baseline_psnr(root, n_frames=2)
+    print(f"== eval PSNR {psnr:.2f} vs render-nothing baseline "
+          f"{base_psnr:.2f} (margin {psnr - base_psnr:+.2f} dB)", flush=True)
+    assert psnr > base_psnr + 1.0, (
+        f"e2e PSNR {psnr:.2f} does not beat the pure-background baseline "
+        f"{base_psnr:.2f} — the trained field renders (almost) nothing")
+
     if args.occ_eval:
         occ_eval_trained_field(base, smpl, reso=args.occ_reso,
                                occ_res=args.occ_res)
     print("PIPELINE OK")
+
+
+def white_baseline_psnr(root: str, n_frames: int = 2) -> float:
+    """PSNR of a pure-white render (= an empty field composited on the
+    white eval background) against the first ``n_frames`` GT images —
+    the score a model that learned NOTHING would get."""
+    import imageio.v2 as iio
+    mses = []
+    for p in sorted(glob.glob(os.path.join(root, "images", "*")))[:n_frames]:
+        g = np.asarray(iio.imread(p), np.float32) / 255.0
+        rgb = g[..., :3]
+        if g.shape[-1] == 4:
+            rgb = rgb * g[..., 3:4] + (1.0 - g[..., 3:4])
+        mses.append(np.mean((rgb - 1.0) ** 2))
+    return float(-10.0 * np.log10(np.mean(mses) + 1e-12))
 
 
 def occ_eval_trained_field(base: str, smpl, reso: int = 256,
@@ -164,8 +228,10 @@ def occ_eval_trained_field(base: str, smpl, reso: int = 256,
     cfg3["model"]["occ_res"] = occ_res
     cfg3["model"]["pretrained_nerf"] = None
     cfg3["model"]["pretrained_nof"] = None
-    ck = sorted(glob.glob(os.path.join(base, "save", "t_moco", "*",
-                                       "ckpts", "final.npz")))[-1]
+    cks = sorted(glob.glob(os.path.join(base, "save", "s3", "*",
+                                        "ckpts", "final.npz")))
+    assert cks, f"no trained stage-3 checkpoint under {base}/save/s3"
+    ck = cks[-1]
     trainer = get_trainer(Config(cfg3, mode="test", make_dirs=False),
                           smpl_data=smpl)
     trainer.build_model(cfg3["model"])
