@@ -17,6 +17,7 @@ from typing import Callable
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -42,6 +43,28 @@ def fold_key_if(axis_name: str | None, key: jax.Array) -> jax.Array:
     if axis_name is None:
         return key
     return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def epoch_perm_frame(seed: int, axis_name: str | None, step_idx,
+                     num_frames: int):
+    """In-graph without-replacement frame visitation (`model.frame_sampling:
+    epoch_perm`): every consecutive block of ``num_frames`` steps visits
+    each frame exactly once in a per-epoch shuffled order — the reference
+    DataLoader's shuffle=True epoch semantics (ref train.py:47-51), vs the
+    rebuild's historical iid-uniform draw. Each chip draws an independent
+    permutation (the DDP DistributedSampler analog for ray-sharded DP).
+
+    Jit-safe: the permutation key depends only on ``step_idx //
+    num_frames``, so it is a pure function of the step carried in-graph —
+    no host sampling, no recompiles.
+    """
+    step_idx = jnp.asarray(step_idx)
+    epoch = step_idx // num_frames
+    # distinct stream from the per-step loss/ray keys (constant salt)
+    ek = jax.random.fold_in(jax.random.key(seed), 0x5EED)
+    ek = fold_key_if(axis_name, jax.random.fold_in(ek, epoch))
+    perm = jax.random.permutation(ek, num_frames)
+    return perm[step_idx % num_frames]
 
 
 def dp_jit(make_step: Callable[[str | None], Callable], mesh: Mesh | None,

@@ -19,7 +19,7 @@ import optax
 from ..data.correspondence import sample_correspondences
 from ..data.dataset import get_dataset
 from ..nn.losses import l1
-from ..parallel.mesh import dp_jit, fold_key_if, pmean_if
+from ..parallel.mesh import dp_jit, epoch_perm_frame, fold_key_if, pmean_if
 from ..render.volume import RenderConfig, nof_warp
 from .base import BaseTrainer
 from .checkpoint import load_checkpoint, merge_into
@@ -84,6 +84,13 @@ class NoFTrainer(BaseTrainer):
         trainer = self
 
         seed = self.config.seed or 0
+        # frame visitation policy (PARITY.md NoF-gap study): 'uniform' (the
+        # historical default, iid) or 'epoch_perm' (the reference
+        # DataLoader's shuffled without-replacement epochs)
+        frame_sampling = self.config["model"].get("frame_sampling", "uniform")
+        if frame_sampling not in ("uniform", "epoch_perm"):
+            raise ValueError("model.frame_sampling must be 'uniform' or "
+                             f"'epoch_perm', got {frame_sampling!r}")
 
         def make_step(axis):
             def step(params, opt_state, step_idx, table_verts, table_chain,
@@ -93,7 +100,9 @@ class NoFTrainer(BaseTrainer):
                 key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_c = jax.random.split(key)
-                frame = jax.random.randint(k_f, (), 0, num_frames)
+                frame = (epoch_perm_frame(seed, axis, step_idx, num_frames)
+                         if frame_sampling == "epoch_perm" else
+                         jax.random.randint(k_f, (), 0, num_frames))
                 corr = sample_correspondences(table, frame, k_c,
                                               num_sampled=n_sampled,
                                               thickness=0.1)

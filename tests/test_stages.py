@@ -309,3 +309,83 @@ def test_stage3_data_parallel(scene, tmp_path):
         np.isclose(float(sched(10)), 5e-4)
     val = trainer.val_step()
     assert np.isfinite(val["val_psnr"])
+
+
+def test_epoch_perm_frame_semantics():
+    """`frame_sampling: epoch_perm` (the reference DataLoader's shuffled
+    without-replacement epochs, ref train.py:47-51): every consecutive
+    block of num_frames steps visits each frame exactly once; epochs are
+    shuffled independently; the draw is a pure deterministic function of
+    (seed, step)."""
+    import jax.numpy as jnp
+
+    from moco_flow_tpu.parallel.mesh import epoch_perm_frame
+
+    F = 7
+    steps = jnp.arange(4 * F)
+    frames = np.asarray(jax.vmap(
+        lambda s: epoch_perm_frame(3, None, s, F))(steps))
+    for e in range(4):
+        block = frames[e * F:(e + 1) * F]
+        assert sorted(block.tolist()) == list(range(F)), (e, block)
+    # epochs reshuffle (all-equal permutations across 4 epochs would mean
+    # the epoch index never reaches the key)
+    assert any(frames[:F].tolist() != frames[e * F:(e + 1) * F].tolist()
+               for e in range(1, 4))
+    # deterministic in (seed, step); different seeds decorrelate
+    again = np.asarray(jax.vmap(
+        lambda s: epoch_perm_frame(3, None, s, F))(steps))
+    np.testing.assert_array_equal(frames, again)
+    other = np.asarray(jax.vmap(
+        lambda s: epoch_perm_frame(4, None, s, F))(steps))
+    assert frames.tolist() != other.tolist()
+
+
+def test_epoch_perm_frame_per_chip():
+    """Under DP each chip draws its own epoch permutation (the
+    DistributedSampler analog): per-chip sequences are all valid
+    without-replacement epochs but not identical across chips."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from moco_flow_tpu.parallel.mesh import epoch_perm_frame, make_mesh
+
+    F = 5
+    mesh = make_mesh(8)
+
+    def draw(steps):  # steps: (1, F) shard per chip
+        return jax.vmap(
+            lambda s: epoch_perm_frame(0, "data", s, F))(steps[0])[None]
+
+    steps = jnp.broadcast_to(jnp.arange(F)[None], (8, F))
+    out = np.asarray(
+        jax.jit(shard_map(draw, mesh=mesh, in_specs=P("data"),
+                          out_specs=P("data")))(steps))
+    assert out.shape == (8, F)
+    for chip in range(8):
+        assert sorted(out[chip].tolist()) == list(range(F)), out[chip]
+    assert len({tuple(r.tolist()) for r in out}) > 1, out
+
+
+def test_frame_sampling_knob_validated(scene, tmp_path):
+    """Unknown model.frame_sampling values fail loudly at trainer build."""
+    root, smpl = scene
+    cfg = nof_config(root, str(tmp_path))
+    cfg["model"]["frame_sampling"] = "bogus"
+    with pytest.raises(ValueError, match="frame_sampling"):
+        get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                    mesh=make_mesh(1))
+
+
+def test_stage2_epoch_perm_trains(scene, tmp_path):
+    """NoF pretraining with epoch_perm visitation still converges."""
+    root, smpl = scene
+    cfg = nof_config(root, str(tmp_path))
+    cfg["model"]["frame_sampling"] = "epoch_perm"
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                          mesh=make_mesh(1))
+    metrics = run_steps(trainer, 40)
+    first = metrics[0]["nof_bw"] + metrics[0]["nof_fw"]
+    last = metrics[-1]["nof_bw"] + metrics[-1]["nof_fw"]
+    assert np.isfinite(last) and last < first, (first, last)
