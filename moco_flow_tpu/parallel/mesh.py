@@ -49,10 +49,12 @@ def epoch_perm_frame(seed: int, axis_name: str | None, step_idx,
                      num_frames: int):
     """In-graph without-replacement frame visitation (`model.frame_sampling:
     epoch_perm`): every consecutive block of ``num_frames`` steps visits
-    each frame exactly once in a per-epoch shuffled order — the reference
-    DataLoader's shuffle=True epoch semantics (ref train.py:47-51), vs the
-    rebuild's historical iid-uniform draw. Each chip draws an independent
-    permutation (the DDP DistributedSampler analog for ray-sharded DP).
+    each frame exactly once in a per-epoch shuffled order — the reference's
+    DDP ``DistributedSampler`` epoch semantics (trainer_moco_flow.py:26 +
+    train.py:48-49 ``set_epoch``; its single-GPU loader is ``shuffle=False``
+    i.e. plain sequential — `frame_sampling: sequential`), vs the rebuild's
+    historical iid-uniform draw. Each chip draws an independent permutation
+    (the per-rank DistributedSampler analog for ray-sharded DP).
 
     Jit-safe: the permutation key depends only on ``step_idx //
     num_frames``, so it is a pure function of the step carried in-graph —
@@ -65,6 +67,33 @@ def epoch_perm_frame(seed: int, axis_name: str | None, step_idx,
     ek = fold_key_if(axis_name, jax.random.fold_in(ek, epoch))
     perm = jax.random.permutation(ek, num_frames)
     return perm[step_idx % num_frames]
+
+
+FRAME_SAMPLING_POLICIES = ("uniform", "sequential", "epoch_perm")
+
+
+def sample_frame(policy: str, seed: int, axis_name: str | None, step_idx,
+                 num_frames: int, key: jax.Array):
+    """Draw the training frame for one step under `model.frame_sampling`:
+
+    - ``uniform``: iid draw from ``key`` (the rebuild's historical default)
+    - ``sequential``: ``step % num_frames`` — the reference's single-GPU
+      DataLoader order (``shuffle=False``, trainer_moco_flow.py:31)
+    - ``epoch_perm``: per-epoch shuffled without-replacement visits
+      (:func:`epoch_perm_frame` — the DDP ``DistributedSampler`` analog)
+
+    All three are pure in-graph functions of ``(seed, step)`` — no host
+    sampling, no recompiles. Raises on unknown policies (host-side: the
+    policy string is static config).
+    """
+    if policy == "uniform":
+        return jax.random.randint(key, (), 0, num_frames)
+    if policy == "sequential":
+        return jnp.asarray(step_idx) % num_frames
+    if policy == "epoch_perm":
+        return epoch_perm_frame(seed, axis_name, step_idx, num_frames)
+    raise ValueError("model.frame_sampling must be one of "
+                     f"{FRAME_SAMPLING_POLICIES}, got {policy!r}")
 
 
 def dp_jit(make_step: Callable[[str | None], Callable], mesh: Mesh | None,

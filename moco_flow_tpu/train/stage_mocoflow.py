@@ -39,7 +39,8 @@ from ..nn.embedding import anneal_weights
 from ..nn.losses import image_loss, masked_bce, masked_loss
 from ..nn.metrics import dssim, psnr
 from ..nn.nerf import nerf_sigma
-from ..parallel.mesh import dp_jit, epoch_perm_frame, fold_key_if, pmean_if
+from ..parallel.mesh import (
+    FRAME_SAMPLING_POLICIES, dp_jit, fold_key_if, pmean_if, sample_frame)
 from ..render.volume import embed_padded, encode_nerf_xyz, render_rays
 from .base import BaseTrainer
 from .checkpoint import (
@@ -248,13 +249,13 @@ class MoCoFlowTrainer(BaseTrainer):
         trainer = self
 
         seed = self.config.seed or 0
-        # frame visitation policy (PARITY.md NoF-gap study): 'uniform' (the
-        # historical default, iid) or 'epoch_perm' (the reference
-        # DataLoader's shuffled without-replacement epochs)
+        # frame visitation policy (PARITY.md NoF-gap study; see
+        # parallel/mesh.py::sample_frame for the three policies)
         frame_sampling = self.config["model"].get("frame_sampling", "uniform")
-        if frame_sampling not in ("uniform", "epoch_perm"):
-            raise ValueError("model.frame_sampling must be 'uniform' or "
-                             f"'epoch_perm', got {frame_sampling!r}")
+        if frame_sampling not in FRAME_SAMPLING_POLICIES:
+            raise ValueError("model.frame_sampling must be one of "
+                             f"{FRAME_SAMPLING_POLICIES}, "
+                             f"got {frame_sampling!r}")
 
         def make_step(axis):
             def step(params, opt_state, step_idx, table, directions,
@@ -264,9 +265,8 @@ class MoCoFlowTrainer(BaseTrainer):
                 key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_r, k_chain, k_corr, k_render = jax.random.split(key, 5)
-                frame = (epoch_perm_frame(seed, axis, step_idx, num_frames)
-                         if frame_sampling == "epoch_perm" else
-                         jax.random.randint(k_f, (), 0, num_frames))
+                frame = sample_frame(frame_sampling, seed, axis, step_idx,
+                                     num_frames, k_f)
                 rays, rgbs, bg = sample_train_rays(
                     table, directions, images, bkgd, frame, k_r, n_rand,
                     rand_bkgd, has_alpha)

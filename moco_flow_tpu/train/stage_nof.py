@@ -19,7 +19,8 @@ import optax
 from ..data.correspondence import sample_correspondences
 from ..data.dataset import get_dataset
 from ..nn.losses import l1
-from ..parallel.mesh import dp_jit, epoch_perm_frame, fold_key_if, pmean_if
+from ..parallel.mesh import (
+    FRAME_SAMPLING_POLICIES, dp_jit, fold_key_if, pmean_if, sample_frame)
 from ..render.volume import RenderConfig, nof_warp
 from .base import BaseTrainer
 from .checkpoint import load_checkpoint, merge_into
@@ -84,13 +85,13 @@ class NoFTrainer(BaseTrainer):
         trainer = self
 
         seed = self.config.seed or 0
-        # frame visitation policy (PARITY.md NoF-gap study): 'uniform' (the
-        # historical default, iid) or 'epoch_perm' (the reference
-        # DataLoader's shuffled without-replacement epochs)
+        # frame visitation policy (PARITY.md NoF-gap study; see
+        # parallel/mesh.py::sample_frame for the three policies)
         frame_sampling = self.config["model"].get("frame_sampling", "uniform")
-        if frame_sampling not in ("uniform", "epoch_perm"):
-            raise ValueError("model.frame_sampling must be 'uniform' or "
-                             f"'epoch_perm', got {frame_sampling!r}")
+        if frame_sampling not in FRAME_SAMPLING_POLICIES:
+            raise ValueError("model.frame_sampling must be one of "
+                             f"{FRAME_SAMPLING_POLICIES}, "
+                             f"got {frame_sampling!r}")
 
         def make_step(axis):
             def step(params, opt_state, step_idx, table_verts, table_chain,
@@ -100,9 +101,8 @@ class NoFTrainer(BaseTrainer):
                 key = jax.random.fold_in(jax.random.key(seed), step_idx)
                 key = fold_key_if(axis, key)
                 k_f, k_c = jax.random.split(key)
-                frame = (epoch_perm_frame(seed, axis, step_idx, num_frames)
-                         if frame_sampling == "epoch_perm" else
-                         jax.random.randint(k_f, (), 0, num_frames))
+                frame = sample_frame(frame_sampling, seed, axis, step_idx,
+                                     num_frames, k_f)
                 corr = sample_correspondences(table, frame, k_c,
                                               num_sampled=n_sampled,
                                               thickness=0.1)

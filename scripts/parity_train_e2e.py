@@ -325,7 +325,8 @@ def smoothed(losses, key, frac=0.2):
     return float(np.mean(tail))
 
 
-def compare_stage(stage, ns, root, smpl, save, steps, n_rand, seed=0):
+def compare_stage(stage, ns, root, smpl, save, steps, n_rand, seed=0,
+                  arms=("uniform",)):
     ref_cfg = stage_cfg(stage, root, os.path.join(save, "ref"), steps,
                         n_rand, ref_side=True)
     ref_trainer = build_reference(ns, ref_cfg, seed=seed)
@@ -370,6 +371,21 @@ def compare_stage(stage, ns, root, smpl, save, steps, n_rand, seed=0):
             report[f"ref_{k}_tail"] = smoothed(ref_losses, k)
         report["nof_eval_fixed_points"] = nof_eval(
             ns, ref_trainer, jax_trainer, N_FRAMES)
+        # NoF-gap study arms: retrain the rebuild from the SAME init under
+        # other frame-visitation policies (the reference side above is
+        # single-GPU sequential — shuffle=False, trainer_moco_flow.py:31).
+        for arm in arms:
+            if arm == "uniform":
+                continue  # that's the jax_trainer already evaluated
+            print(f"== stage 3 arm: rebuild with frame_sampling={arm}",
+                  flush=True)
+            arm_cfg = stage_cfg(stage, root, os.path.join(save, f"jax_{arm}"),
+                                steps, n_rand, ref_side=False)
+            arm_cfg["model"]["frame_sampling"] = arm
+            arm_trainer, _ = run_rebuild(arm_cfg, smpl, init, steps,
+                                         seed=seed)
+            report[f"nof_eval_fixed_points_{arm}"] = nof_eval(
+                ns, ref_trainer, arm_trainer, N_FRAMES)
     return report
 
 
@@ -386,6 +402,10 @@ def main():
                     help="init/RNG seed for BOTH sides (multi-seed NoF-gap "
                          "study: run with several seeds and compare the "
                          "nof_eval_fixed_points spread — PARITY.md)")
+    ap.add_argument("--arms", default="uniform",
+                    help="comma list of rebuild frame_sampling arms for "
+                         "stage 3 (uniform always runs; add sequential "
+                         "and/or epoch_perm for the NoF-gap study)")
     args = ap.parse_args()
 
     base = args.base or tempfile.mkdtemp(prefix="parity_train_")
@@ -428,7 +448,7 @@ def main():
         report[f"stage{stage}"] = compare_stage(
             stage, ns, root1 if stage == 1 else root, smpl,
             os.path.join(base, f"s{stage}"), steps, args.n_rand,
-            seed=args.seed)
+            seed=args.seed, arms=tuple(args.arms.split(",")))
         print(json.dumps(report[f"stage{stage}"], indent=2), flush=True)
 
     with open(args.out, "w") as f:

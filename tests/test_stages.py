@@ -378,6 +378,20 @@ def test_frame_sampling_knob_validated(scene, tmp_path):
                     mesh=make_mesh(1))
 
 
+def test_sequential_frame_sampling():
+    """`frame_sampling: sequential` = the reference's single-GPU DataLoader
+    order (shuffle=False, ref trainer_moco_flow.py:31): 0,1,..,F-1 cycling."""
+    import jax.numpy as jnp
+
+    from moco_flow_tpu.parallel.mesh import sample_frame
+
+    F = 4
+    key = jax.random.key(0)
+    frames = [int(sample_frame("sequential", 0, None, s, F, key))
+              for s in range(2 * F + 1)]
+    assert frames == [0, 1, 2, 3, 0, 1, 2, 3, 0]
+
+
 def test_stage2_epoch_perm_trains(scene, tmp_path):
     """NoF pretraining with epoch_perm visitation still converges."""
     root, smpl = scene
