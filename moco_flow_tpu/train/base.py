@@ -460,6 +460,22 @@ class BaseTrainer:
     def occupancy_grid(self, frame_idx: int):
         """Cached per-frame observation-space occupancy grid (canonical for
         frame -1); reused across every view of the frame."""
+        rcfg = getattr(self, "rcfg_test", None)
+        if rcfg is not None and rcfg.activation == "softplus":
+            # The tau bound integrates sigma over REAL segment lengths, but
+            # the renderer's infinite catch-all delta on the last sample
+            # (reference rendering.py:158-160 parity) saturates alpha to 1
+            # whenever the far sample's sigma > 0 — and softplus(raw) > 0
+            # EVERYWHERE. Every ray then has opacity 1 and the far sample's
+            # color; 'provably empty' does not exist and tightening `far`
+            # moves the catch-all sample (measured: a 'skipped' ray can
+            # differ from the exact render by 0.64 rgb). Under relu, empty
+            # space has sigma exactly 0 and the bound is sound.
+            raise ValueError(
+                "occupancy-grid skipping (occ_res > 0) requires "
+                "nerf_activate_type: relu — under softplus the renderer's "
+                "infinite last-sample delta saturates every ray to opacity "
+                "1, so no ray is provably empty (see PARITY.md)")
         key = int(frame_idx)
         if key not in self._occ_grids:
             from ..render.occupancy import build_occupancy_grid

@@ -90,6 +90,13 @@ def main():
                          "distilled-field bench.py occ axis (PERF.md)")
     ap.add_argument("--occ_reso", type=int, default=256)
     ap.add_argument("--occ_res", type=int, default=64)
+    ap.add_argument("--occ_samples", type=int, default=0,
+                    help="override N_samples/N_importance for the occ eval "
+                         "(0 = the training config's counts). The tau bound "
+                         "controls the CONTINUOUS integral; at toy sample "
+                         "counts the two renders' quadrature error exceeds "
+                         "tau, so dB-vs-exact needs production-like counts "
+                         "to reflect the bound")
     ap.add_argument("--eval_budget", type=int, default=24,
                     help="test.py --fine_budget for the eval (0 = exact; "
                          "budget/probe need the fused TPU path)")
@@ -113,7 +120,8 @@ def main():
 
     if args.occ_only:
         occ_eval_trained_field(base, smpl, reso=args.occ_reso,
-                               occ_res=args.occ_res)
+                               occ_res=args.occ_res,
+                               n_samples=args.occ_samples)
         print("OCC EVAL OK")
         return
 
@@ -126,25 +134,27 @@ def main():
         cfg["trainer"]["save_every_n_step"] = 0
         return cfg
 
-    ck1 = run_stage(quiet(nerf_config(root, save)), "s1", base, save, env,
-                    args.stage_timeout)
+    # ONE activation end to end. The reference's softplus(stage-1) ->
+    # relu(stage-3) switch (init_nerf.yaml:36 vs c2f.yaml:42) relies on the
+    # stage-1 field's raw sigma being >> 0 inside the body, which only
+    # holds after long training (relu ~= softplus there). At toy scale the
+    # transplanted raw sigma is ~<= 0 and under relu that is a DEAD field
+    # (no output, no gradient — stage 3 can never regrow density; the old
+    # e2e's "PSNR 18.45" exactly equaled the white-background baseline for
+    # two rounds). Relu throughout avoids the mismatch (relu->relu keeps
+    # the body's positive raw sigma), trains BETTER at toy scale than
+    # softplus (29.4 vs 26 dB stage-1 @600), and keeps the occupancy-skip
+    # eval sound: under softplus the renderer's infinite catch-all delta
+    # (reference rendering.py:158-160 semantics) saturates EVERY ray to
+    # opacity 1, so "provably empty" does not exist (PARITY.md).
+    c1 = quiet(nerf_config(root, save))
+    c1["model"]["nerf_activate_type"] = "relu"
+    ck1 = run_stage(c1, "s1", base, save, env, args.stage_timeout)
     ck2 = run_stage(quiet(nof_config(root, save)), "s2", base, save, env,
                     args.stage_timeout)
     c3 = quiet(moco_config(root, save))
     c3["model"]["pretrained_nerf"] = ck1
     c3["model"]["pretrained_nof"] = ck2
-    # The reference's softplus(stage-1) -> relu(stage-3) activation switch
-    # (init_nerf.yaml:36 vs c2f.yaml:42) relies on the stage-1 field's raw
-    # sigma being >> 0 inside the body, which only holds after long
-    # training (relu ~= softplus there). At toy scale the transplanted
-    # field's raw sigma is ~<= 0, and under relu that is a DEAD field:
-    # relu passes no gradient at raw<=0, so stage 3 can never regrow
-    # density. Measured on this pipeline: the old e2e's "PSNR 18.45"
-    # exactly equaled the pure-white-background baseline (18.3-18.6) —
-    # the model rendered nothing. Keep the toy pipeline on softplus so
-    # the e2e measures actual learning; production configs keep the
-    # reference's relu (PARITY.md "activation transplant" note).
-    c3["model"]["nerf_activate_type"] = "softplus"
     # scale the c2f freeze/anneal window to the toy run length
     # (production: 5k/1.005M iters of 2.2M total)
     c3["trainer"]["coarse2fine_start_iter"] = max(1, args.steps // 10)
@@ -186,7 +196,8 @@ def main():
 
     if args.occ_eval:
         occ_eval_trained_field(base, smpl, reso=args.occ_reso,
-                               occ_res=args.occ_res)
+                               occ_res=args.occ_res,
+                               n_samples=args.occ_samples)
     print("PIPELINE OK")
 
 
@@ -207,7 +218,7 @@ def white_baseline_psnr(root: str, n_frames: int = 2) -> float:
 
 def occ_eval_trained_field(base: str, smpl, reso: int = 256,
                            occ_res: int = 64, frame: int = 1,
-                           reps: int = 3):
+                           reps: int = 3, n_samples: int = 0):
     """Occupancy-skipping quality + throughput on the e2e-TRAINED stage-3
     joint model with per-frame NoF warps (VERDICT round-3 item 7: the
     distilled-field bench numbers need a trained-field counterpart).
@@ -228,6 +239,9 @@ def occ_eval_trained_field(base: str, smpl, reso: int = 256,
     cfg3["model"]["occ_res"] = occ_res
     cfg3["model"]["pretrained_nerf"] = None
     cfg3["model"]["pretrained_nof"] = None
+    if n_samples:
+        cfg3["model"]["N_samples"] = n_samples
+        cfg3["model"]["N_importance"] = n_samples
     cks = sorted(glob.glob(os.path.join(base, "save", "s3", "*",
                                         "ckpts", "final.npz")))
     assert cks, f"no trained stage-3 checkpoint under {base}/save/s3"
@@ -278,6 +292,8 @@ def occ_eval_trained_field(base: str, smpl, reso: int = 256,
     rec = {
         "metric": "trained_field_occ_eval",
         "reso": reso, "occ_res": occ_res, "frame": frame,
+        "n_samples": int(rcfg.n_samples),
+        "n_importance": int(rcfg.n_importance),
         "render_exact_rays_per_sec": round(r_exact, 1),
         "render_occ_skip_rays_per_sec": round(r_occ, 1),
         "psnr_occ_vs_exact": round(-10.0 * float(np.log10(mse + 1e-12)), 1),

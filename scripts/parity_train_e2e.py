@@ -331,9 +331,12 @@ def compare_stage(stage, ns, root, smpl, save, steps, n_rand, seed=0,
                         n_rand, ref_side=True)
     ref_trainer = build_reference(ns, ref_cfg, seed=seed)
     # snapshot the torch init into a rebuild pytree BEFORE training mutates
-    # the reference nets in place
-    init = (transfer_stage1 if stage == 1 else transfer_stage3)(
-        ns, ref_trainer)
+    # the reference nets in place; keep it as HOST numpy — the rebuild's
+    # train step donates its params buffers, so handing the same device
+    # arrays to a second arm would raise 'Array has been deleted'
+    import jax
+    init = jax.tree.map(np.asarray, (transfer_stage1 if stage == 1
+                                     else transfer_stage3)(ns, ref_trainer))
 
     print(f"== stage {stage}: training the PyTorch reference {steps} steps",
           flush=True)

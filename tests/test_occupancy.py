@@ -330,3 +330,27 @@ def test_pipelined_render_matches_sequential(tmp_path):
                 np.testing.assert_array_equal(np.asarray(a[k]),
                                               np.asarray(b[k]),
                                               err_msg=f"skip={skip} {k}")
+
+
+def test_occupancy_requires_relu(tmp_path):
+    """Under softplus the renderer's infinite catch-all delta saturates
+    every ray to opacity 1 (sigma > 0 everywhere), so no ray is provably
+    empty and the tau bound cannot hold — occupancy_grid must refuse
+    loudly (PARITY.md 'softplus saturates every ray')."""
+    import pytest
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "nerf_activate_type": "softplus"})
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl)
+    with pytest.raises(ValueError, match="relu"):
+        trainer.occupancy_grid(0)
