@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import pickle
 import subprocess
@@ -134,29 +135,57 @@ def main():
         cfg["trainer"]["save_every_n_step"] = 0
         return cfg
 
-    # ONE activation end to end. The reference's softplus(stage-1) ->
-    # relu(stage-3) switch (init_nerf.yaml:36 vs c2f.yaml:42) relies on the
-    # stage-1 field's raw sigma being >> 0 inside the body, which only
-    # holds after long training (relu ~= softplus there). At toy scale the
-    # transplanted raw sigma is ~<= 0 and under relu that is a DEAD field
-    # (no output, no gradient — stage 3 can never regrow density; the old
-    # e2e's "PSNR 18.45" exactly equaled the white-background baseline for
-    # two rounds). Relu throughout avoids the mismatch (relu->relu keeps
-    # the body's positive raw sigma), trains BETTER at toy scale than
-    # softplus (29.4 vs 26 dB stage-1 @600), and keeps the occupancy-skip
-    # eval sound: under softplus the renderer's infinite catch-all delta
-    # (reference rendering.py:158-160 semantics) saturates EVERY ray to
-    # opacity 1, so "provably empty" does not exist (PARITY.md).
-    c1 = quiet(nerf_config(root, save))
-    c1["model"]["nerf_activate_type"] = "relu"
+    # Stage 1 trains on the init_nerf dataset — multi-view renders of the
+    # STATIC frame-0 posed body (reference data_utils.py:273-336), exactly
+    # like the real pipeline. The old e2e fit a single static NeRF to all
+    # frames of the MOVING scene: geometrically contradictory supervision,
+    # under which relu correctly converges to empty (render == white
+    # baseline) and softplus "succeeds" degenerately by painting each
+    # view's person onto the far plane through the infinite catch-all
+    # delta + dir conditioning (measured: 21.4 dB eval with max lattice
+    # density 0.03 — no volume at all).
+    fr0 = json.load(open(os.path.join(root, "train.json")))["frames"][0]
+    vibe_pkl = os.path.join(base, "vibe.pkl")
+    with open(vibe_pkl, "wb") as f:
+        pickle.dump({1: {"frame_ids": np.arange(1),
+                         "pose": np.asarray([fr0["pose"]], np.float32),
+                         "betas": np.asarray([fr0["betas"]], np.float32),
+                         "transls": np.asarray([fr0["transl"]],
+                                               np.float32)}}, f)
+    from scripts.data_utils import create_init_nerf_data
+    create_init_nerf_data(vibe_pkl, (128, 128), focal=150.0, num_images=12,
+                          smpl_data=smpl)
+
+    # Activations follow the REFERENCE recipe exactly: softplus stage 1
+    # (init_nerf.yaml:36), relu stage 3 (c2f.yaml:42). On the static
+    # init_nerf data the transplant lives even at toy scale — measured
+    # (600 CPU steps): train PSNR 26.1, raw sigma at the body verts
+    # mean +4.5 / interior +6.9 (100% positive), empty space -16 — so
+    # relu(raw) keeps the body volume and its gradient. (Relu FROM
+    # SCRATCH dies instead: dead-zone init, which is exactly why the
+    # reference starts with softplus.) Stage-3 relu also keeps the
+    # occupancy-skip eval sound: under softplus the catch-all delta
+    # saturates every ray to opacity 1 — PARITY.md.
+    c1 = quiet(nerf_config(os.path.join(base, "init_nerf"), save))
     ck1 = run_stage(c1, "s1", base, save, env, args.stage_timeout)
     ck2 = run_stage(quiet(nof_config(root, save)), "s2", base, save, env,
                     args.stage_timeout)
     c3 = quiet(moco_config(root, save))
     c3["model"]["pretrained_nerf"] = ck1
     c3["model"]["pretrained_nof"] = ck2
-    # scale the c2f freeze/anneal window to the toy run length
-    # (production: 5k/1.005M iters of 2.2M total)
+    # c2f OFF for the toy pipeline: zeroing all PE bands at stage-3 start
+    # and ramping them back within ~200 steps is a distribution shift the
+    # relu field cannot track at this scale — the img loss drives raw
+    # sigma below 0 at every sampled point first, and relu then passes no
+    # gradient to revive it (the e2e baseline gate caught exactly this:
+    # final PSNR == white-background baseline). The reference survives at
+    # production scale via the 5000-step freeze + ~100k-steps-per-band
+    # ramp (c2f.yaml:143-144); c2f mechanics are covered by
+    # tests/test_stages.py::test_stage3_phases_and_losses and the
+    # cross-implementation parity harness. The freeze window itself
+    # applies regardless of the flag (reference trainer_moco_flow.py:391),
+    # scaled to the toy run length.
+    c3["model"]["coarse_to_fine"] = False
     c3["trainer"]["coarse2fine_start_iter"] = max(1, args.steps // 10)
     c3["trainer"]["coarse2fine_end_iter"] = max(2, args.steps // 3)
     run_stage(c3, "s3", base, save, env, args.stage_timeout)
