@@ -418,9 +418,16 @@ def _occ_axes(args, trainer) -> dict:
     trainer.occupancy_grid(0)  # build outside the timed loop
     r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
                                    tighten_frame=0, ray_skip=True)
+    # exact-sampling axis: ray DROP only, no depth tightening — the fixed
+    # sample-count kernels gain nothing from shorter intervals, and leaving
+    # near/far untouched keeps every kept ray bit-identical to the exact
+    # render, so the whole image is tau-bounded (measured: 48.7 -> 78.4 dB
+    # at the same rays/s on the distilled bench field, PERF.md round 4)
+    trainer.config.raw["model"]["occ_tighten"] = 0
     r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
                                      reps, tighten_frame=0,
                                      ray_skip=True)
+    trainer.config.raw["model"]["occ_tighten"] = 1
 
     def psnr(img):
         mse = float(np.mean((np.asarray(img, np.float32)
@@ -455,10 +462,12 @@ def _occ_axes(args, trainer) -> dict:
             r_stu, img_stu = time_render(trainer, rays, bg, rcfg_b,
                                          reps, tighten_frame=0,
                                          ray_skip=True)
+            trainer.config.raw["model"]["occ_tighten"] = 0  # see above
             r_stue, img_stue = time_render(trainer, rays, bg,
                                            rcfg_e, reps,
                                            tighten_frame=0,
                                            ray_skip=True)
+            trainer.config.raw["model"]["occ_tighten"] = 1
             occ.update({
                 "render_student_rays_per_sec_per_chip":
                     round(r_stu / trainer.world_size, 1),

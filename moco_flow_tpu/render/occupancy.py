@@ -468,7 +468,8 @@ def _tighten_kernel(sig_flat, extent, cell, outer_sig, outer_extent,
          new_far[:, None].astype(rays.dtype), rays[:, 8:]], axis=1)
     empty_frac = empty.mean(dtype=jnp.float32)
     range_ratio = jnp.mean((new_far - new_near) / (far - near + 1e-12))
-    return out, empty, empty_frac, range_ratio
+    kept_count = jnp.sum(jnp.logical_not(empty)).astype(jnp.int32)
+    return out, empty, empty_frac, range_ratio, kept_count
 
 
 _TIGHTEN_JIT = None
@@ -497,7 +498,7 @@ def tighten_ray_bounds_jax(grid: OccupancyGrid, rays, size,
         _TIGHTEN_JIT = jax.jit(
             _tighten_kernel,
             static_argnames=("r", "h", "w", "coarse", "n_probe"))
-    out, empty, empty_frac, range_ratio = _TIGHTEN_JIT(
+    out, empty, empty_frac, range_ratio, kept_count = _TIGHTEN_JIT(
         grid.device_sig(), jnp.float32(grid.extent), jnp.float32(grid.cell),
         jnp.float32(grid.outer_sig), jnp.float32(grid.outer_extent),
         jnp.float32(tau_eps), jnp.float32(pad_cells),
@@ -505,5 +506,5 @@ def tighten_ray_bounds_jax(grid: OccupancyGrid, rays, size,
         r=grid.resolution, h=h, w=w, coarse=coarse, n_probe=n_probe)
     stats = {"coarse": coarse, "n_probe": n_probe,
              "empty_frac": empty_frac, "range_ratio": range_ratio,
-             "empty_mask": empty}
+             "empty_mask": empty, "kept_count": kept_count}
     return out, stats

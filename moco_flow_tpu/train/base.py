@@ -303,7 +303,13 @@ class BaseTrainer:
                 anneal=anneal, chunk=chunk, key=key)
             return {k: (v[:0] if getattr(v, "ndim", 0) >= 1 else v)
                     for k, v in out.items()}
-        if self.world_size <= 1:
+        # single chip, ray count an exact tile multiple (every full frame):
+        # fall through to the one-dispatch lax.map program below instead of
+        # the per-tile host loop — per-ray outputs are the same tiles in the
+        # same order, and the per-chunk consensus scalars average over equal
+        # tiles, so both paths agree (the loop path remains for tail/bucket
+        # shapes and is the cross-check in tests/test_render.py)
+        if self.world_size <= 1 and (n <= chunk or n % chunk != 0):
             fn = self._tile_render_fn(rcfg)
             bg = background if background is not None else jnp.ones((n, 3))
             outs = []
@@ -344,6 +350,14 @@ class BaseTrainer:
                     else:
                         flat[k] = v0
             return flat
+        # Multi-chip: don't let the fixed chunk knob amplify small ray sets —
+        # padding n=576 test-frame rays to chunk(16384) x 8 devices is a 227x
+        # work blowup that starved the XLA:CPU collective rendezvous in the
+        # fake-mesh tests (and wastes real chips on small masked views). One
+        # tile per device is already full parallelism, so cap the tile at the
+        # per-device share, rounded up to 8 rows (TPU sublane alignment).
+        per_dev = -(-n // max(self.world_size, 1))
+        chunk = min(chunk, max(8, -(-per_dev // 8) * 8))
         pad = (-n) % chunk
         rays_p = jnp.concatenate(
             [rays, jnp.broadcast_to(rays[-1:], (pad, rays.shape[1]))]) if pad else rays
@@ -442,6 +456,15 @@ class BaseTrainer:
                 # silently drops visible rays
                 "extent": float(m.get("occ_extent", 0.0)),
                 "tau": float(m.get("occ_tau", 1e-3)),
+                # 1 (default): rewrite near/far to the occupied interval.
+                # 0: keep original bounds and ONLY drop provably-empty rays —
+                # the fixed-sample-count kernels gain NO speed from shorter
+                # intervals (static shapes), and redistributing samples moves
+                # kept rays off the exact reference image; with tightening
+                # off, kept rays render BIT-IDENTICALLY to the exact render
+                # and total error is tau-bounded on the skipped rays alone
+                # (measured: exact+occ dB-vs-exact 48.7 -> 61+, same speed)
+                "tighten": bool(int(m.get("occ_tighten", 1))),
                 # auto = the on-device jitted tightener (zero host numpy in
                 # the timed render loop); "host" = the original numpy path
                 # (fallback + cross-check oracle, tests/test_occupancy.py)
@@ -491,7 +514,9 @@ class BaseTrainer:
     def tighten_rays(self, rays, frame_idx: int, size=None):
         """Rewrite rays' near/far to the occupied depth interval when the
         ``occ_res`` knob is on (0 = off, exact bounds). Also stashes the
-        per-ray provably-empty mask (see :meth:`occ_keep_mask`)."""
+        per-ray provably-empty mask (see :meth:`occ_keep_mask`). With
+        ``occ_tighten: 0`` the bounds are left untouched and only the empty
+        mask is produced (see :meth:`occ_cfg`)."""
         if self.occ_cfg["resolution"] <= 0:
             return rays
         grid = self.occupancy_grid(frame_idx)
@@ -501,13 +526,18 @@ class BaseTrainer:
             out, stats = tighten_ray_bounds(grid, np.asarray(rays), size,
                                             tau_eps=self.occ_cfg["tau"])
             self._occ_keep = ~stats.pop("empty_mask")
+            stats["kept_count"] = int(self._occ_keep.sum())
             self._occ_stats = stats
+            if not self.occ_cfg["tighten"]:
+                return jnp.asarray(rays, jnp.float32)
             return jnp.asarray(out)
         from ..render.occupancy import tighten_ray_bounds_jax
         out, stats = tighten_ray_bounds_jax(grid, rays, size,
                                             tau_eps=self.occ_cfg["tau"])
         self._occ_keep = jnp.logical_not(stats.pop("empty_mask"))
         self._occ_stats = stats
+        if not self.occ_cfg["tighten"]:
+            return jnp.asarray(rays, jnp.float32)
         return out
 
     def occ_keep_mask(self):
@@ -525,31 +555,43 @@ class BaseTrainer:
         """Dispatch a view's occupancy tighten + keep-mask programs WITHOUT
         reading anything back; returns an opaque handle for
         :meth:`commit_view`. Preparing view i+1 before committing view i
-        lets the keep-mask device->host readback (the only per-view host
-        sync in the skip path; a ~28 ms round trip on the tunneled backend,
-        ~20% of an occupancy-skipped frame) overlap the previous view's
-        device render — see :meth:`render_views_pipelined`. ``skip=False``
-        tightens depth bounds but renders every ray."""
+        lets the kept-count device->host readback (the only per-view host
+        sync in the skip path; a ~28 ms round trip on the tunneled backend)
+        overlap the previous view's device render — see
+        :meth:`render_views_pipelined`. ``skip=False`` tightens depth bounds
+        but renders every ray."""
         rays_t = self.tighten_rays(rays, frame_idx, size=size)
-        return (rays_t, self.occ_keep_mask() if skip else None, extra_mask)
+        keep = self.occ_keep_mask() if skip else None
+        count = None
+        if keep is not None:
+            # carried so commit_view syncs on ONE scalar, never the mask
+            count = (self._occ_stats or {}).get("kept_count")
+            if extra_mask is not None:
+                keep = jnp.logical_and(jnp.asarray(keep),
+                                       jnp.asarray(extra_mask))
+                count = jnp.sum(keep)
+            elif count is None:
+                count = jnp.sum(jnp.asarray(keep))
+        return (rays_t, keep, extra_mask, count)
 
     def commit_view(self, handle, background, rcfg: RenderConfig,
                     anneal=None, chunk: int = 16384) -> dict:
-        """Read the prepared view's keep mask (the one host sync) and
-        dispatch its render. Returns the render-output dict (device
-        arrays — not yet fetched)."""
-        rays_t, keep, extra_mask = handle
-        mask = None
-        if keep is not None:
-            mask = np.asarray(keep)
-        if extra_mask is not None:
-            em = np.asarray(extra_mask)
-            mask = em if mask is None else (mask & em)
-        if mask is None:
+        """Read the prepared view's kept-ray COUNT (the one host sync — a
+        scalar, not the mask) and dispatch its render. Returns the
+        render-output dict (device arrays — not yet fetched)."""
+        rays_t, keep, extra_mask, count = handle
+        if keep is None:
+            if extra_mask is not None:
+                em = np.asarray(extra_mask)
+                return self.render_masked_image(rays_t, em, background, rcfg,
+                                                anneal=anneal, chunk=chunk,
+                                                count=int(em.sum()))
             return self.render_rays_chunked(rays_t, background, rcfg,
                                             anneal=anneal, chunk=chunk)
-        return self.render_masked_image(rays_t, mask, background, rcfg,
-                                        anneal=anneal, chunk=chunk)
+        # prepare_view already folded extra_mask into keep (on device)
+        return self.render_masked_image(rays_t, keep, background, rcfg,
+                                        anneal=anneal, chunk=chunk,
+                                        count=int(count))
 
     def render_views_pipelined(self, jobs, rcfg: RenderConfig, anneal=None,
                                chunk: int = 16384, skip: bool = True):
@@ -580,12 +622,92 @@ class BaseTrainer:
             yield self.commit_view(prev, prev_bg, rcfg, anneal=anneal,
                                    chunk=chunk)
 
+    def _masked_render_fused_fn(self, rcfg: RenderConfig, n_tiles: int,
+                                tile: int):
+        """ONE jitted program for a whole masked view: in-graph keep-mask
+        compaction (``jnp.nonzero(size=capacity)``), ``lax.map`` render over
+        fixed tiles, and in-graph scatter/composite back to the full frame.
+        Replaces the ~35 eager host dispatches per view of the loop path
+        (host flatnonzero, per-bucket slices/pad-concats/jit calls, output
+        concats, scatter composites) with a single dispatch — the occupancy
+        render axis was measured 20% device-busy under the loop
+        (scripts/profile_hotpath.py --mode occ_student, PERF.md round 4).
+        Capacity is static per compile; the caller buckets the kept count to
+        ``n_tiles`` x ``tile`` and pads with duplicate rays whose scatter
+        indices are out of range (``mode='drop'``)."""
+        key_ = (rcfg, n_tiles, tile, "fused_masked")
+        if key_ not in self._render_fns:
+            statics = self.statics
+
+            def fused(params, anneal, rays, keep, background, key):
+                n = rays.shape[0]
+                cap = n_tiles * tile
+                idx = jnp.nonzero(keep, size=cap, fill_value=n)[0]
+                safe = jnp.minimum(idx, n - 1)
+                sub_rays = jnp.take(rays, safe, axis=0)
+                sub_bg = jnp.take(background, safe, axis=0)
+
+                def one(args):
+                    r, b = args
+                    return render_rays(params, statics, anneal, r, b, key,
+                                       rcfg)
+
+                res = jax.lax.map(
+                    one, (sub_rays.reshape(n_tiles, tile, rays.shape[1]),
+                          sub_bg.reshape(n_tiles, tile, 3)))
+                typ = "fine" if "rgb_fine" in res else "coarse"
+                opacity = res[f"opacity_{typ}"].reshape(cap)
+                rgb = res[f"rgb_{typ}"].reshape(cap, 3)
+                depth = res[f"depth_{typ}"].reshape(cap)
+                # ref trainer_moco_flow.py:226-268 composite semantics:
+                # foreground where opacity > 0, background elsewhere;
+                # depth 10 outside the mask, 8 inside-but-empty
+                fg = opacity > 0
+                rgb_vals = jnp.where(fg[:, None], rgb, sub_bg)
+                depth_vals = jnp.where(fg, depth, 8.0)
+                rgb_full = jnp.asarray(background).at[idx].set(
+                    rgb_vals, mode="drop")
+                depth_full = jnp.full((n,), 10.0).at[idx].set(
+                    depth_vals, mode="drop")
+                opa_full = jnp.zeros((n,)).at[idx].set(opacity, mode="drop")
+                return {f"rgb_{typ}": rgb_full, f"depth_{typ}": depth_full,
+                        f"opacity_{typ}": opa_full}
+
+            self._render_fns[key_] = jax.jit(fused)
+        return self._render_fns[key_]
+
     def render_masked_image(self, rays, mask, background, rcfg: RenderConfig,
-                            anneal=None, chunk: int = 16384) -> dict:
+                            anneal=None, chunk: int = 16384,
+                            count: int | None = None) -> dict:
         """Render only hull-masked rays, scatter back, composite with the
         background (ref trainer_moco_flow.py:226-268 semantics: foreground
         where opacity > 0, background elsewhere; depth 10 outside the hull,
-        8 inside-but-empty)."""
+        8 inside-but-empty).
+
+        Default impl is the single-dispatch fused program above, keyed off
+        ``count`` (kept-ray total) so a device-resident ``mask`` never needs
+        a full readback — pass ``count`` when you have it (commit_view
+        does; it falls back to summing the mask host-side otherwise).
+        ``model.masked_render: loop`` selects the original host bucket loop
+        (the multi-chip path and the fused path's cross-check oracle,
+        tests/test_occupancy.py::test_masked_render_fused_matches_loop)."""
+        impl = str(self.config["model"].get("masked_render", "fused"))
+        if count is None:
+            count = int(np.asarray(mask).sum())
+        else:
+            count = int(count)
+        if impl == "fused" and self.world_size <= 1 and count > 0:
+            if count > 4096:
+                tile, n_tiles = 4096, -(-count // 4096)
+            else:  # small views: one power-of-two tile (same floor as the
+                # loop path's buckets)
+                tile, n_tiles = max(2048,
+                                    1 << (count - 1).bit_length()), 1
+            fn = self._masked_render_fused_fn(rcfg, n_tiles, tile)
+            if not hasattr(self, "_key0"):
+                self._key0 = jax.random.key(0)
+            return fn(self.params, anneal or {}, jnp.asarray(rays),
+                      jnp.asarray(mask), jnp.asarray(background), self._key0)
         mask = np.asarray(mask)
         idx = np.flatnonzero(mask)
         sel = jnp.asarray(idx)

@@ -332,6 +332,145 @@ def test_pipelined_render_matches_sequential(tmp_path):
                                               err_msg=f"skip={skip} {k}")
 
 
+def test_masked_render_fused_matches_loop(tmp_path):
+    """The single-dispatch fused masked render (in-graph nonzero compaction
+    + lax.map tiles + scatter composite, train/base.py::
+    _masked_render_fused_fn) must reproduce the host bucket-loop path
+    exactly: per-ray math is row-independent, so different batch paddings
+    cannot change kept rays."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "occ_threshold": 5.0})
+    from moco_flow_tpu.parallel.mesh import make_mesh
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                          mesh=make_mesh(1))  # fused path is single-chip
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+    rays, _ = ds.frame_rays(0)
+    rays_t = trainer.tighten_rays(rays, 0, size=ds.size)
+    bg = jnp.ones((rays.shape[0], 3)) * 0.3
+
+    rng = np.random.default_rng(7)
+    occ_keep = np.asarray(trainer.occ_keep_mask())
+    masks = [occ_keep, rng.random(rays.shape[0]) < 0.3]
+    for mask in masks:
+        if mask.sum() == 0:
+            continue
+        trainer.config.raw["model"]["masked_render"] = "loop"
+        a = trainer.render_masked_image(rays_t, mask, bg, rcfg,
+                                        anneal=anneal)
+        trainer.config.raw["model"]["masked_render"] = "fused"
+        b = trainer.render_masked_image(rays_t, jnp.asarray(mask), bg, rcfg,
+                                        anneal=anneal,
+                                        count=int(mask.sum()))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+
+def test_chunked_render_map_matches_loop(tmp_path):
+    """Single-chip full-frame renders with n an exact chunk multiple route
+    through the one-dispatch lax.map program (the multi-chip body); its
+    per-ray outputs must match the per-tile host loop."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8})
+    from moco_flow_tpu.parallel.mesh import make_mesh
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                          mesh=make_mesh(1))  # map routing is single-chip
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+    rays, _ = ds.frame_rays(0)          # 576 rays
+    bg = jnp.ones((rays.shape[0], 3)) * 0.3
+    a = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
+                                    anneal=anneal, chunk=144)  # map: 4 tiles
+    b = trainer.render_rays_chunked(jnp.asarray(rays), bg, rcfg,
+                                    anneal=anneal, chunk=576)  # loop: 1 tile
+    for k in a:
+        va = np.asarray(a[k])
+        if va.ndim >= 1:                 # per-ray outputs only — the
+            # per-chunk consensus scalars legitimately regroup
+            np.testing.assert_allclose(va, np.asarray(b[k]), atol=1e-6,
+                                       err_msg=k)
+
+
+def test_skip_without_tighten_keeps_exact_sampling(tmp_path):
+    """occ_tighten: 0 — ray bounds stay bit-exact, the empty mask is the
+    same as with tightening, and every KEPT ray renders bit-identically to
+    the plain exact render (the whole image is then tau-bounded on the
+    skipped rays alone; measured 78.4 dB vs exact on the TPU bench field,
+    PERF.md round 4)."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.parallel.mesh import make_mesh
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "occ_threshold": 5.0, "occ_tighten": 0})
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                          mesh=make_mesh(1))
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+    rays, _ = ds.frame_rays(0)
+    bg = jnp.ones((rays.shape[0], 3)) * 0.4
+
+    rays_t = np.asarray(trainer.tighten_rays(rays, 0, size=ds.size))
+    np.testing.assert_array_equal(rays_t, np.asarray(rays, np.float32))
+    keep_notight = np.asarray(trainer.occ_keep_mask())
+    trainer.config.raw["model"]["occ_tighten"] = 1
+    trainer.tighten_rays(rays, 0, size=ds.size)
+    np.testing.assert_array_equal(np.asarray(trainer.occ_keep_mask()),
+                                  keep_notight)
+    trainer.config.raw["model"]["occ_tighten"] = 0
+
+    exact = trainer.render_rays_chunked(jnp.asarray(rays, jnp.float32), bg,
+                                        rcfg, anneal=anneal)
+    out = trainer.commit_view(trainer.prepare_view(rays, 0), bg, rcfg,
+                              anneal=anneal)
+    typ = "fine" if "rgb_fine" in out else "coarse"
+    k = keep_notight
+    np.testing.assert_array_equal(
+        np.asarray(out[f"rgb_{typ}"])[k], np.asarray(exact[f"rgb_{typ}"])[k])
+    # foreground kept rays carry the exact depth too (empty kept rays
+    # composite to the 8.0 inside-mask sentinel, ref semantics)
+    fg = np.asarray(out[f"opacity_{typ}"]) > 0
+    np.testing.assert_array_equal(
+        np.asarray(out[f"depth_{typ}"])[k & fg],
+        np.asarray(exact[f"depth_{typ}"])[k & fg])
+
+
 def test_occupancy_requires_relu(tmp_path):
     """Under softplus the renderer's infinite catch-all delta saturates
     every ray to opacity 1 (sigma > 0 everywhere), so no ray is provably
