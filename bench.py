@@ -267,6 +267,13 @@ def main():
                          "trunk (render/distill.py) and report its render "
                          "throughput + dB vs the teacher's exact render. "
                          "0: skip. Requires --occ_axis")
+    ap.add_argument("--occ_grid_res", type=int, default=192,
+                    help="occupancy grid resolution for the occ/student "
+                         "axes. Swept on the bench field (PERF.md round "
+                         "4): 64 -> 497k rays/s exact+skip @ 78.4 dB, "
+                         "128 -> 601k @ 78.4, 192 -> 713k @ 120 dB, "
+                         "256 -> 721k @ 120 dB; 192 is the knee (256 "
+                         "costs 2.7x the grid build for +1%)")
     ap.add_argument("--student", default="4x128",
                     help="student trunk architecture 'DxW'")
     ap.add_argument("--student_steps", type=int, default=1200,
@@ -404,7 +411,7 @@ def _occ_axes(args, trainer) -> dict:
     from bench_occupancy import distill_sharp_field, time_render
     import jax
     import jax.numpy as jnp
-    trainer.config.raw["model"]["occ_res"] = 64
+    trainer.config.raw["model"]["occ_res"] = args.occ_grid_res
     distill_sharp_field(trainer, trainer.smpl_data, steps=250)
     jax.block_until_ready(trainer.params)
     ds = trainer.val_dataset
@@ -415,7 +422,16 @@ def _occ_axes(args, trainer) -> dict:
                                  coarse_probe=0)
     reps = max(args.steps // 4, 3)
     _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
-    trainer.occupancy_grid(0)  # build outside the timed loop
+    trainer.occupancy_grid(0)  # compile + build outside the timed loop
+    # steady-state per-frame grid cost (compile cached): what a
+    # training-pose video pays per NEW frame — reported, not folded into
+    # the per-view rates, matching how the grid amortizes over a frame's
+    # views (spherical/bullet renders) or is paid once per frame (pose
+    # videos)
+    trainer._occ_grids.clear()
+    t0 = time.perf_counter()
+    trainer.occupancy_grid(0)
+    grid_build_s = time.perf_counter() - t0
     r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
                                    tighten_frame=0, ray_skip=True)
     # exact-sampling axis: ray DROP only, no depth tightening — the fixed
@@ -443,6 +459,8 @@ def _occ_axes(args, trainer) -> dict:
         "render_occ_exact_sampling_psnr_vs_exact": psnr(img_eskip),
         "occ_empty_frac": round(
             float(trainer._occ_stats["empty_frac"]), 4),
+        "occ_grid_res": args.occ_grid_res,
+        "occ_grid_build_s": round(grid_build_s, 2),
     }
 
     if args.student_axis:
