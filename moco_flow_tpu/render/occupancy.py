@@ -139,7 +139,7 @@ def _activate(sig: np.ndarray, rcfg) -> np.ndarray:
 def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
                          supersample: int = 2, threshold: float = 5.0,
                          extent: float = 1.5, dilate: int = 1,
-                         outer_factor: float = 2.0
+                         outer_factor: float = 2.0, device: bool = True
                          ) -> OccupancyGrid:
     """Occupancy of sigma(bw_warp(x, frame)) (or canonical sigma for
     frame_idx == -1) over [-extent, extent]^3.
@@ -152,7 +152,34 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     ``supersample``: sigma is evaluated on a (resolution*supersample)^3
     lattice and max-pooled, so sub-cell density features set their cell
     occupied (the instant-ngp-style conservative pooling).
+
+    ``device=True`` (default) runs the whole pipeline on device and fetches
+    only the pooled resolution^3 grid + one outer scalar (train/vis.py::
+    _grid_builders) — the host path below uploads the full supersampled
+    lattice and fetches raw sigma, which cost ~25 s/frame in transfers
+    alone over the tunneled TPU backend at 192^3x2 (PERF.md round 4); it
+    is kept as the cross-check oracle (tests/test_occupancy.py).
     """
+    rcfg = getattr(trainer, "rcfg_test", None)
+    activation = ("softplus" if rcfg is not None
+                  and getattr(rcfg, "activation", None) == "softplus"
+                  else "relu")
+
+    if device:
+        from ..train.vis import grid_sig_device, outer_bound_device
+        sig = grid_sig_device(trainer, frame_idx, resolution,
+                              supersample=supersample, extent=extent,
+                              activation=activation, dilate=dilate)
+        outer_sig, outer_extent = 0.0, float(extent)
+        if outer_factor > 1.0:
+            outer_extent = float(extent * outer_factor)
+            outer_sig = outer_bound_device(trainer, frame_idx, resolution,
+                                           extent, outer_extent, activation)
+        return OccupancyGrid(occ=np.ascontiguousarray(sig > threshold),
+                             extent=float(extent), threshold=float(threshold),
+                             sig=sig, outer_sig=outer_sig,
+                             outer_extent=outer_extent)
+
     from ..train.vis import sigma_grid
 
     n = resolution * supersample
@@ -161,7 +188,6 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     if supersample > 1:
         sig = sig.reshape(resolution, supersample, resolution, supersample,
                           resolution, supersample).max(axis=(1, 3, 5))
-    rcfg = getattr(trainer, "rcfg_test", None)
     sig = _activate(sig, rcfg)
     # sigma_grid's lattice is meshgrid(xy-indexed): axis order (y, x, z);
     # transpose to (x, y, z) so index math below reads naturally

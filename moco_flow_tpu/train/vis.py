@@ -292,6 +292,120 @@ def sigma_grid(trainer, frame_idx: int, n_grid: int = 256,
     return sig.reshape(n_grid, n_grid, n_grid)
 
 
+def _grid_builders(trainer, frame_idx: int, resolution: int,
+                   supersample: int, activation: str, dilate: int,
+                   chunk: int):
+    """Cached jitted builders for the occupancy grid's sigma lattice,
+    computed ENTIRELY on device. ``sigma_grid`` uploads the full lattice
+    (n^3 x 3 f32 = 679 MB at 384^3) and fetches raw sigma (226 MB) — over
+    the tunneled backend that transfer alone cost ~25 s per grid build
+    (PERF.md round 4). Here the lattice is generated in-graph from the
+    flat cell index, and max-pool / activation / 3^3-max dilation run
+    in-graph too, so the inner build fetches only the pooled
+    resolution^3 f32 (28 MB at 192^3) and the outer bound fetches ONE
+    scalar.
+
+    Returns ``(grid_fn, outer_fn)``:
+      grid_fn(params, anneal, norm_idx, extent) -> (r, r, r) f32, index
+        order (x, y, z) — the pooled+activated+dilated sigma UPPER BOUND
+        (bit-equal in structure to the round-4 host pipeline; tested).
+      outer_fn(params, anneal, norm_idx, extent, outer_extent) -> scalar
+        max activated+dilated sigma outside [-extent, extent]^3 on a
+        resolution^3 lattice over the outer cube (supersample 1, dilate
+        1 — the same guard lattice the host path measured).
+    """
+    params, statics = trainer.params, trainer.statics
+    use_fine = "fine_NeRF" in params
+    nerf_name = "fine_NeRF" if use_fine else "coarse_NeRF"
+    nerf_cfg = statics.fine if use_fine and statics.fine else statics.coarse
+    warp = frame_idx != -1 and "bw_NoF" in params
+
+    cache = getattr(trainer, "_sigma_eval_fns", None)
+    if cache is None:
+        cache = trainer._sigma_eval_fns = {}
+    key = ("occgrid", warp, nerf_name, statics, resolution, supersample,
+           activation, dilate, chunk)
+    fns = cache.get(key)
+    if fns is not None:
+        return fns
+
+    def _raw_lattice(params, anneal, norm_idx, extent, n):
+        """(n, n, n) RAW sigma, (x, y, z) order, lattice built in-graph."""
+        n_tiles = -(-n ** 3 // chunk)
+        step = 2.0 * extent / (n - 1)
+
+        def one(t):
+            f = jnp.minimum(t * chunk + jnp.arange(chunk), n ** 3 - 1)
+            ijk = jnp.stack([f // (n * n), (f // n) % n, f % n], axis=-1)
+            pts = ijk.astype(jnp.float32) * step - extent
+            if warp:
+                pts = nof_points(params["bw_NoF"], statics, anneal, pts,
+                                 norm_idx, RenderConfig(use_nof=True))
+            emb = encode_nerf_xyz(params[nerf_name], nerf_cfg, statics,
+                                  pts, anneal)
+            return nerf_sigma(params[nerf_name], emb, nerf_cfg)[:, 0]
+
+        sig = jax.lax.map(one, jnp.arange(n_tiles))
+        return sig.reshape(-1)[:n ** 3].reshape(n, n, n)
+
+    def _activate_dilate(sig, n_dilate):
+        sig = (jnp.logaddexp(sig, 0.0) if activation == "softplus"
+               else jnp.maximum(sig, 0.0))
+        for _ in range(n_dilate):
+            sig = jax.lax.reduce_window(sig, -jnp.inf, jax.lax.max,
+                                        (3, 3, 3), (1, 1, 1), "SAME")
+        return sig
+
+    def _grid(params, anneal, norm_idx, extent):
+        n = resolution * supersample
+        sig = _raw_lattice(params, anneal, norm_idx, extent, n)
+        if supersample > 1:
+            r, s = resolution, supersample
+            sig = sig.reshape(r, s, r, s, r, s).max(axis=(1, 3, 5))
+        return _activate_dilate(sig, dilate)
+
+    def _outer(params, anneal, norm_idx, extent, outer_extent):
+        sig = _activate_dilate(
+            _raw_lattice(params, anneal, norm_idx, outer_extent,
+                         resolution), 1)
+        c = jnp.linspace(-outer_extent, outer_extent, resolution)
+        inside = ((jnp.abs(c)[:, None, None] <= extent)
+                  & (jnp.abs(c)[None, :, None] <= extent)
+                  & (jnp.abs(c)[None, None, :] <= extent))
+        return jnp.max(jnp.where(inside, -jnp.inf, sig))
+
+    fns = cache[key] = (jax.jit(_grid), jax.jit(_outer))
+    return fns
+
+
+def grid_sig_device(trainer, frame_idx: int, resolution: int,
+                    supersample: int = 2, extent: float = 1.5,
+                    activation: str = "relu", dilate: int = 1,
+                    chunk: int = 131072) -> np.ndarray:
+    """On-device occupancy sigma lattice (see :func:`_grid_builders`)."""
+    grid_fn, _ = _grid_builders(trainer, frame_idx, resolution, supersample,
+                                activation, dilate, chunk)
+    norm_idx = jnp.asarray(
+        frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
+    return np.asarray(grid_fn(trainer.params, trainer.anneal(), norm_idx,
+                              jnp.float32(extent)), np.float32)
+
+
+def outer_bound_device(trainer, frame_idx: int, resolution: int,
+                       extent: float, outer_extent: float,
+                       activation: str = "relu",
+                       chunk: int = 131072) -> float:
+    """Max activated density OUTSIDE the grid cube — one scalar readback
+    (see :func:`_grid_builders`)."""
+    _, outer_fn = _grid_builders(trainer, frame_idx, resolution,
+                                 supersample=1, activation=activation,
+                                 dilate=1, chunk=chunk)
+    norm_idx = jnp.asarray(
+        frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
+    return float(outer_fn(trainer.params, trainer.anneal(), norm_idx,
+                          jnp.float32(extent), jnp.float32(outer_extent)))
+
+
 def visualize_mesh(trainer, frame_idx: int, n_grid: int = 256,
                    sigma_threshold: float = 10.0, save_path=None,
                    extent: float = 1.5):

@@ -240,6 +240,43 @@ def test_trainer_plumbing_and_grid_build(tmp_path):
                                   np.full((rays.shape[0],), 10.0))
 
 
+def test_device_grid_build_matches_host(tmp_path):
+    """The on-device grid builder (in-graph lattice + pool/activate/dilate,
+    fetches only the pooled grid + one outer scalar — the 26.6 s/frame ->
+    transfer-free fix, PERF.md round 4) must reproduce the host reference
+    pipeline exactly: same sig lattice, same occupancy, same measured outer
+    bound — on both the NoF-warped (frame 0) and canonical (-1) grids."""
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.render.occupancy import build_occupancy_grid
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8})
+    trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl)
+
+    for frame in (0, -1):  # warped and canonical
+        gd = build_occupancy_grid(trainer, frame, resolution=8,
+                                  supersample=2, threshold=0.05,
+                                  extent=1.5, device=True)
+        gh = build_occupancy_grid(trainer, frame, resolution=8,
+                                  supersample=2, threshold=0.05,
+                                  extent=1.5, device=False)
+        np.testing.assert_allclose(gd.sig, gh.sig, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"sig mismatch, frame {frame}")
+        # occupancy may only differ where sig sits exactly on the threshold
+        differ = gd.occ != gh.occ
+        assert (np.abs(gh.sig[differ] - 0.05) < 1e-4).all()
+        assert gd.outer_extent == gh.outer_extent
+        np.testing.assert_allclose(gd.outer_sig, gh.outer_sig,
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_outside_cube_density_blocks_skipping():
     """A field with density OUTSIDE the grid cube (grid.outer_sig > 0) must
     not declare rays empty or tighten bounds into the outer region — the
