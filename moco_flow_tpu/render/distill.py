@@ -53,9 +53,10 @@ def student_config(teacher_cfg, depth: int = 4, width: int = 128):
 
 
 def distill_student(trainer, depth: int = 4, width: int = 128,
-                    steps: int = 1500, batch: int = 16384, lr: float = 3e-3,
+                    steps: int = 3000, batch: int = 16384, lr: float = 3e-3,
                     extent: float = 1.5, sigma_weight: float = 1.0,
-                    seed: int = 0, swap: bool = True):
+                    seed: int = 0, swap: bool = True,
+                    lr_decay: float = 0.1):
     """Distill the trainer's FINE NeRF into a (depth x width) student and
     (by default) swap it in as the trainer's render-time NeRF (both coarse
     and fine — the same both-from-fine convention the reference's stage-3
@@ -76,7 +77,17 @@ def distill_student(trainer, depth: int = 4, width: int = 128,
 
     key = jax.random.key(seed)
     s_params = init_nerf(jax.random.fold_in(key, 1), s_cfg)
-    opt = optax.adam(lr)
+    # cosine decay to lr*lr_decay + global-norm clipping: the constant-lr
+    # unclipped distillation had large run-to-run spread (26-37.5 dB vs
+    # teacher for identical configs) and one measured full collapse (9 dB,
+    # loss 3.9 at seed 1) — the sharp +-150-sigma relu target is an
+    # unforgiving objective (PERF.md round-4 student-arm table). Callers
+    # should treat a final loss >> ~0.05 as a diverged draw and restart
+    # with a new seed (bench.py does).
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1),
+                                               alpha=lr_decay)))
     opt_state = opt.init(s_params)
 
     n_extra = t_cfg.extra_feat_dim if t_cfg.extra_feat_type != "none" else 0
@@ -106,6 +117,16 @@ def distill_student(trainer, depth: int = 4, width: int = 128,
         soft_t = jnp.log1p(act_t)
         rgb_l = jnp.mean(w[:, None] * (out[:, :3] - t_rgb) ** 2)
         sig_l = jnp.mean((soft_s - soft_t) ** 2)
+        if activation == "relu":
+            # dead-relu rescue: if the student's raw sigma goes negative
+            # where the teacher is occupied, log1p(relu(s)) has ZERO
+            # gradient and the draw collapses permanently (measured:
+            # seed-1 run stuck at loss 3.9169 under two different
+            # optimizers = no grad signal at all; PERF.md round 4). A
+            # hinge on raw sigma restores the pull across 0 and vanishes
+            # once s >= 0, so the converged objective is unchanged.
+            sig_l = sig_l + 0.05 * jnp.mean(
+                jnp.where(soft_t > 0.0, jnp.maximum(-out[:, 3], 0.0), 0.0))
         return rgb_l + sigma_weight * sig_l
 
     @jax.jit
