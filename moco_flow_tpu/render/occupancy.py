@@ -304,6 +304,8 @@ def tighten_ray_bounds(grid: OccupancyGrid, rays: np.ndarray, size,
     dn = np.linalg.norm(d_s, axis=-1)
     span = (f_s - n_s) * dn
     n_probe = int(np.clip(np.ceil(span.max() / grid.cell) + 1, 8, 512))
+    if n_probe > 8:  # same bucketing as _probe_plan (compile-cache reuse)
+        n_probe = min(512, -(-n_probe // 32) * 32)
     ts = n_s[:, None] + (f_s - n_s)[:, None] * \
         np.linspace(0.0, 1.0, n_probe, dtype=np.float32)[None, :]
     pts = o_s[:, None, :] + d_s[:, None, :] * ts[..., None]
@@ -408,6 +410,13 @@ def _probe_plan(grid: OccupancyGrid, rays_np: np.ndarray, size,
     dn = np.linalg.norm(d[sub], axis=-1)
     span_max = float(((far[sub] - near[sub]) * dn).max())
     n_probe = int(np.clip(np.ceil(span_max / grid.cell) + 1, 8, 512))
+    # quantize n_probe UP to a multiple of 32: it is a static jit arg, and
+    # per-frame span jitter (auto-extent grids differ slightly per frame)
+    # would otherwise compile a fresh tighten program per novel value — at
+    # 2-300 s per compile on the tunneled backend a multi-frame video could
+    # stall minutes per frame. Extra probes only tighten the bound.
+    if n_probe > 8:
+        n_probe = min(512, -(-n_probe // 32) * 32)
     return coarse, n_probe, len(ys), len(xs)
 
 

@@ -688,6 +688,10 @@ class BaseTrainer:
         ``count`` (kept-ray total) so a device-resident ``mask`` never needs
         a full readback — pass ``count`` when you have it (commit_view
         does; it falls back to summing the mask host-side otherwise).
+        INVARIANT: ``count`` must equal the mask's true population — the
+        in-graph ``jnp.nonzero(size=cap)`` compaction silently truncates if
+        it is smaller, rendering truncated rays as background (checked under
+        jax debug_nans mode, the trainer's cheap-asserts flag).
         ``model.masked_render: loop`` selects the original host bucket loop
         (the multi-chip path and the fused path's cross-check oracle,
         tests/test_occupancy.py::test_masked_render_fused_matches_loop)."""
@@ -696,6 +700,12 @@ class BaseTrainer:
             count = int(np.asarray(mask).sum())
         else:
             count = int(count)
+            if jax.config.jax_debug_nans:  # debug builds verify the invariant
+                true_count = int(np.asarray(mask).sum())
+                assert count >= true_count, (
+                    f"render_masked_image: count={count} < mask population "
+                    f"{true_count}; kept rays would silently render as "
+                    "background")
         if impl == "fused" and self.world_size <= 1 and count > 0:
             if count > 4096:
                 tile, n_tiles = 4096, -(-count // 4096)

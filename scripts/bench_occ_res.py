@@ -53,11 +53,9 @@ def main():
             trainer.config.raw["model"]["occ_res"] = res
             trainer._occ_grids.clear()
             t0 = time.perf_counter()
-            trainer.occupancy_grid(0)
-            jax.block_until_ready(trainer._occ_grids[0].grid
-                                  if hasattr(trainer._occ_grids[0], "grid")
-                                  else trainer.params)
+            trainer.occupancy_grid(0)  # build is synchronous (fetches sig)
             build_s = time.perf_counter() - t0
+            ws = max(trainer.world_size, 1)
             trainer.config.raw["model"]["occ_tighten"] = 0
             r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e, 5,
                                              tighten_frame=0, ray_skip=True)
@@ -68,10 +66,10 @@ def main():
             b_stats = dict(trainer._occ_stats or {})
             rows.append({
                 "occ_res": res, "grid_build_s": round(build_s, 2),
-                "exact_skip_rays_s": round(r_eskip, 1),
+                "exact_skip_rays_s_per_chip": round(r_eskip / ws, 1),
                 "exact_skip_psnr": psnr(img_eskip),
                 "exact_empty_frac": round(float(e_stats.get("empty_frac", -1)), 4),
-                "budget_skip_rays_s": round(r_skip, 1),
+                "budget_skip_rays_s_per_chip": round(r_skip / ws, 1),
                 "budget_skip_psnr": psnr(img_skip),
             })
             print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
