@@ -1,0 +1,220 @@
+"""Cross-view packed masked rendering (round-5 render-glue elimination).
+
+The per-view fused masked render (train/base.py::_masked_render_fused_fn)
+quantizes each view's kept rays up to 4096-ray tiles (11.6k kept rays ->
+3 x 4096 = up to 25% padded compute in the last tile) and compiles one
+render program per kept-count bucket. This module replaces it for STREAMS
+of views (video / orbit renders, the bench occ axes): kept rays from
+consecutive views are packed back-to-back into one device-resident buffer
+and rendered in fixed 16384-ray segments — the measured-fastest render
+tile (PERF.md round 2) — so tile padding is paid once per STREAM (the
+final flush) instead of once per view, and the render-program compile
+inventory collapses to ONE program regardless of per-view kept counts
+(compiles cost 2-300 s on the tunneled backend, CLAUDE.md pitfall 5).
+
+Reference behavior being generalized: the test renderer only evaluates
+hull-masked rays and composites the rest to background
+(trainer_moco_flow.py:226-268); packing is the TPU-native static-shape
+replacement for its boolean indexing, one level up from the per-view
+in-graph compaction.
+
+Soundness: test-time ``render_rays`` is row-independent (per-ray sampling,
+warps, composite; no cross-ray reductions), so rays from different views
+render identically in shared segments — asserted bit-exactly against the
+per-view fused path in tests/test_occupancy.py.
+
+Everything stays on device. The only per-view host sync remains the ONE
+kept-count scalar readback the pipelined caller already overlaps
+(train/base.py::render_views_pipelined); `fill`/stream positions are host
+mirrors derived from those counts. All jitted programs are cached in the
+trainer's ``_render_fns`` dict so they persist across streams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .volume import RenderConfig, render_rays
+
+SEG = 16384   # render segment rows: measured-fastest chunk (PERF.md)
+WINDOW = 4    # in-flight view slots in the scatter-target buffer
+
+
+@dataclasses.dataclass
+class _View:
+    slot: int
+    end: int  # stream position (cumulative kept rays) after this view
+
+
+class PackedStream:
+    """Packs kept rays of successive same-shape views into one device
+    buffer; renders in fixed segments; scatters composited pixels into a
+    windowed per-view output buffer. Views complete in input order."""
+
+    def __init__(self, trainer, rcfg: RenderConfig, anneal, n_rays: int,
+                 ray_cols: int, key=None, seg: int = SEG,
+                 window: int = WINDOW):
+        self.trainer = trainer
+        self.statics = trainer.statics
+        self.rcfg = rcfg
+        self.anneal = anneal or {}
+        self.n = int(n_rays)
+        self.rc = int(ray_cols)
+        self.seg = int(seg)
+        self.w = int(window)
+        self.key = key if key is not None else jax.random.key(0)
+        buf_rows = self.n + self.seg  # max fill before drains: seg-1 + n
+        self._buf = jnp.zeros((buf_rows, self.rc + 3), jnp.float32)
+        self._dest = jnp.full((buf_rows,), self.w * self.n, jnp.int32)
+        self._out_rgb = jnp.zeros((self.w * self.n, 3), jnp.float32)
+        self._out_depth = jnp.zeros((self.w * self.n,), jnp.float32)
+        self._out_opa = jnp.zeros((self.w * self.n,), jnp.float32)
+        self.fill = 0      # live (unrendered) buffer rows, host mirror
+        self.pos = 0       # stream rows appended
+        self.drained = 0   # stream rows rendered
+        self._views: list[_View] = []  # incomplete views, input order
+        self._n_views = 0
+        self._typ = "fine" if rcfg.n_importance > 0 else "coarse"
+
+    # -- jitted programs (cached across streams on the trainer) -----------
+
+    def _fns(self):
+        key_ = ("packed", self.rcfg, self.n, self.rc, self.seg, self.w)
+        cache = self.trainer._render_fns
+        if key_ in cache:
+            return cache[key_]
+        statics, rcfg = self.statics, self.rcfg
+        n, rc, seg, w = self.n, self.rc, self.seg, self.w
+        oob = w * n  # out-of-range scatter destination (mode='drop')
+
+        def append(buf, dest, fill, rays, keep, bg, slot):
+            """Compact one view's kept rays to the front and write them at
+            stream offset ``fill`` (contiguous dynamic_update_slice — no
+            scatter). Rows past the kept count are duplicate real rays whose
+            dest falls outside the live [0, fill') region; the drain's
+            fill-mask keeps them from ever scattering."""
+            idx = jnp.nonzero(keep, size=n, fill_value=n)[0]
+            safe = jnp.minimum(idx, n - 1)
+            vals = jnp.concatenate(
+                [jnp.take(rays, safe, axis=0),
+                 jnp.take(bg, safe, axis=0)], axis=1)
+            buf = jax.lax.dynamic_update_slice(buf, vals, (fill, 0))
+            d = (slot * n + idx).astype(jnp.int32)
+            dest = jax.lax.dynamic_update_slice(dest, d, (fill,))
+            return buf, dest
+
+        def init_slot(out_rgb, out_depth, out_opa, bg_img, slot):
+            """Non-kept rays of the slot's view: background / depth 10 /
+            opacity 0 (ref trainer_moco_flow.py:226-268 semantics)."""
+            out_rgb = jax.lax.dynamic_update_slice(out_rgb, bg_img,
+                                                   (slot * n, 0))
+            out_depth = jax.lax.dynamic_update_slice(
+                out_depth, jnp.full((n,), 10.0, jnp.float32), (slot * n,))
+            out_opa = jax.lax.dynamic_update_slice(
+                out_opa, jnp.zeros((n,), jnp.float32), (slot * n,))
+            return out_rgb, out_depth, out_opa
+
+        def drain(params, anneal, buf, dest, fill, out_rgb, out_depth,
+                  out_opa, key):
+            """Render the buffer's first segment and scatter the composited
+            pixels to their views' output slots. Rows at/past ``fill``
+            (append padding, flush tail) render as wasted-but-harmless
+            duplicates and are masked out of the scatter."""
+            head = buf[:seg]
+            rays, bg = head[:, :rc], head[:, rc:]
+            res = render_rays(params, statics, anneal, rays, bg, key, rcfg)
+            typ = "fine" if "rgb_fine" in res else "coarse"
+            opacity = res[f"opacity_{typ}"]
+            fg = opacity > 0
+            rgb_v = jnp.where(fg[:, None], res[f"rgb_{typ}"], bg)
+            dep_v = jnp.where(fg, res[f"depth_{typ}"], 8.0)
+            live = jnp.arange(seg) < fill
+            d = jnp.where(live, dest[:seg], oob)
+            out_rgb = out_rgb.at[d].set(rgb_v, mode="drop")
+            out_depth = out_depth.at[d].set(dep_v, mode="drop")
+            out_opa = out_opa.at[d].set(opacity, mode="drop")
+            buf = jnp.roll(buf, -seg, axis=0)
+            dest = jnp.roll(dest, -seg)
+            return buf, dest, out_rgb, out_depth, out_opa
+
+        def slice_view(out_rgb, out_depth, out_opa, slot):
+            r = jax.lax.dynamic_slice(out_rgb, (slot * n, 0), (n, 3))
+            dd = jax.lax.dynamic_slice(out_depth, (slot * n,), (n,))
+            o = jax.lax.dynamic_slice(out_opa, (slot * n,), (n,))
+            return r, dd, o
+
+        fns = {"append": jax.jit(append), "init": jax.jit(init_slot),
+               "drain": jax.jit(drain), "slice": jax.jit(slice_view)}
+        cache[key_] = fns
+        return fns
+
+    # -- stream API --------------------------------------------------------
+
+    def add_view(self, rays, keep, count: int, background) -> list[dict]:
+        """Append one prepared view (tightened rays + keep mask + host-read
+        kept count + per-ray background) and drain any full segments.
+        Returns the output dicts of views that just completed, in input
+        order. ``count`` must equal the mask's population (same invariant
+        as render_masked_image)."""
+        fns = self._fns()
+        count = int(count)
+        slot = self._n_views % self.w
+        ready: list[dict] = []
+        if any(v.slot == slot for v in self._views):
+            # window exhausted (many tiny views in flight): finish and
+            # slice them BEFORE the slot's output region is re-initialized
+            self._drain_all(fns)
+            ready += self._collect(fns)
+        bg = jnp.broadcast_to(
+            jnp.asarray(background if background is not None else 1.0,
+                        jnp.float32), (self.n, 3))
+        self._out_rgb, self._out_depth, self._out_opa = fns["init"](
+            self._out_rgb, self._out_depth, self._out_opa, bg,
+            jnp.int32(slot))
+        self._buf, self._dest = fns["append"](
+            self._buf, self._dest, jnp.int32(self.fill),
+            jnp.asarray(rays, jnp.float32), jnp.asarray(keep), bg,
+            jnp.int32(slot))
+        self.fill += count
+        self.pos += count
+        self._views.append(_View(slot=slot, end=self.pos))
+        self._n_views += 1
+        while self.fill >= self.seg:
+            self._drain_one(fns)
+        return ready + self._collect(fns)
+
+    def flush(self) -> list[dict]:
+        """Render the partial tail segment (the stream's ONE padded render)
+        and return every remaining view's outputs."""
+        fns = self._fns()
+        self._drain_all(fns)
+        return self._collect(fns)
+
+    # -- internals ----------------------------------------------------------
+
+    def _drain_one(self, fns):
+        self._buf, self._dest, self._out_rgb, self._out_depth, \
+            self._out_opa = fns["drain"](
+                self.trainer.params, self.anneal, self._buf, self._dest,
+                jnp.int32(self.fill), self._out_rgb, self._out_depth,
+                self._out_opa, self.key)
+        consumed = min(self.seg, self.fill)
+        self.fill -= consumed
+        self.drained += consumed
+
+    def _drain_all(self, fns):
+        while self.fill > 0:
+            self._drain_one(fns)
+
+    def _collect(self, fns) -> list[dict]:
+        out = []
+        while self._views and self._views[0].end <= self.drained:
+            v = self._views.pop(0)
+            r, d, o = fns["slice"](self._out_rgb, self._out_depth,
+                                   self._out_opa, jnp.int32(v.slot))
+            out.append({f"rgb_{self._typ}": r, f"depth_{self._typ}": d,
+                        f"opacity_{self._typ}": o})
+        return out

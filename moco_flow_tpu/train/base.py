@@ -605,22 +605,78 @@ class BaseTrainer:
         ``(rays, frame_idx, background, extra_mask)``. Yields the views'
         render-output dicts in order; outputs are device arrays, so a
         caller that also lags its own np.asarray() fetch by one view
-        overlaps the image readback too (train/vis.py does)."""
+        overlaps the image readback too (train/vis.py does).
+
+        When occupancy skipping is live on a single chip (and
+        ``model.masked_render`` is not ``loop``), the stream additionally
+        PACKS kept rays across views into shared fixed-size render
+        segments (render/packed.py): tile padding is paid once per stream
+        instead of once per view, and per-kept-count render compiles
+        disappear. Outputs are bit-identical to the per-view path
+        (tests/test_occupancy.py); a view's dict is yielded as soon as the
+        segment holding its last kept ray has rendered, so yields lag by
+        up to one segment (~16k kept rays) instead of exactly one view."""
+        impl = str(self.config["model"].get("masked_render", "fused"))
+        packed_ok = (skip and self.world_size <= 1 and impl != "loop"
+                     and self.occ_cfg["resolution"] > 0)
         it = iter(jobs)
         prev = None
         prev_bg = None
+        if not packed_ok:
+            for job in it:
+                rays, frame_idx, bg = job[0], job[1], job[2]
+                extra = job[3] if len(job) > 3 else None
+                nxt = self.prepare_view(rays, frame_idx, extra_mask=extra,
+                                        skip=skip)
+                if prev is not None:
+                    yield self.commit_view(prev, prev_bg, rcfg,
+                                           anneal=anneal, chunk=chunk)
+                prev, prev_bg = nxt, bg
+            if prev is not None:
+                yield self.commit_view(prev, prev_bg, rcfg, anneal=anneal,
+                                       chunk=chunk)
+            return
+
+        from ..render.packed import PackedStream
+        stream: PackedStream | None = None
+
+        def commit_packed(handle, bg):
+            """One view into the packed stream (or the per-view fallback
+            when no keep mask was produced); returns completed views."""
+            nonlocal stream
+            rays_t, keep, _extra, count = handle
+            ready: list[dict] = []
+            if keep is None:  # defensive: occupancy produced no mask
+                if stream is not None:
+                    ready += stream.flush()
+                    stream = None
+                ready.append(self.commit_view(handle, bg, rcfg,
+                                              anneal=anneal, chunk=chunk))
+                return ready
+            n, rc = rays_t.shape[0], rays_t.shape[1]
+            if stream is not None and (stream.n != n or stream.rc != rc):
+                ready += stream.flush()  # shape change: new stream
+                stream = None
+            if stream is None:
+                if not hasattr(self, "_key0"):
+                    self._key0 = jax.random.key(0)
+                stream = PackedStream(self, rcfg, anneal or {}, n, rc,
+                                      key=self._key0)
+            ready += stream.add_view(rays_t, keep, int(count), bg)
+            return ready
+
         for job in it:
             rays, frame_idx, bg = job[0], job[1], job[2]
             extra = job[3] if len(job) > 3 else None
             nxt = self.prepare_view(rays, frame_idx, extra_mask=extra,
                                     skip=skip)
             if prev is not None:
-                yield self.commit_view(prev, prev_bg, rcfg, anneal=anneal,
-                                       chunk=chunk)
+                yield from commit_packed(prev, prev_bg)
             prev, prev_bg = nxt, bg
         if prev is not None:
-            yield self.commit_view(prev, prev_bg, rcfg, anneal=anneal,
-                                   chunk=chunk)
+            yield from commit_packed(prev, prev_bg)
+        if stream is not None:
+            yield from stream.flush()
 
     def _masked_render_fused_fn(self, rcfg: RenderConfig, n_tiles: int,
                                 tile: int):

@@ -540,3 +540,104 @@ def test_occupancy_requires_relu(tmp_path):
     trainer = get_trainer(Config(cfg, mode="train"), smpl_data=smpl)
     with pytest.raises(ValueError, match="relu"):
         trainer.occupancy_grid(0)
+
+
+def _packed_trainer(tmp_path, n_frames=3):
+    from __graft_entry__ import _tiny_moco_config
+    from moco_flow_tpu.data.synthetic import make_synthetic_scene
+    from moco_flow_tpu.parallel.mesh import make_mesh
+    from moco_flow_tpu.train import get_trainer
+    from moco_flow_tpu.utils.config import Config
+
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=n_frames, size=24, focal=30.0)
+    cfg = _tiny_moco_config(root, str(tmp_path / "log"))
+    cfg["dataloader"]["size"] = [24, 24]
+    cfg["dataloader"]["val_size"] = [24, 24]
+    cfg["model"].update({"N_rand": 16, "N_samples": 8, "N_importance": 8,
+                         "occ_res": 8, "occ_supersample": 1,
+                         "occ_threshold": 5.0})
+    return get_trainer(Config(cfg, mode="train"), smpl_data=smpl,
+                       mesh=make_mesh(1))  # packed path is single-chip
+
+
+def test_packed_stream_matches_per_view(tmp_path):
+    """The cross-view packed streamer (render/packed.py, the single-chip
+    render_views_pipelined path) must reproduce the per-view fused masked
+    render bit-exactly: per-ray math is row-independent, so packing rays
+    from different views into shared segments cannot change any kept ray,
+    and the composite semantics (background / depth 10 / 8 / opacity 0)
+    are identical."""
+    import jax.numpy as jnp
+
+    trainer = _packed_trainer(tmp_path)
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+
+    hull = np.zeros((24 * 24,), bool)
+    hull[::3] = True
+    jobs = []
+    for i, frame in enumerate((0, 1, 2, 0, 1)):
+        rays, _ = ds.frame_rays(frame)
+        bg = jnp.ones((rays.shape[0], 3)) * (0.15 + 0.1 * i)
+        jobs.append((rays, frame, bg, hull if i == 2 else None))
+
+    seq = [trainer.commit_view(
+               trainer.prepare_view(r, f, extra_mask=m, skip=True),
+               bg, rcfg, anneal=anneal)
+           for (r, f, bg, m) in jobs]
+    pip = list(trainer.render_views_pipelined(iter(jobs), rcfg,
+                                              anneal=anneal, skip=True))
+    assert len(pip) == len(seq)
+    for a, b in zip(seq, pip):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+
+def test_packed_stream_small_segments(tmp_path):
+    """Drive PackedStream directly with a tiny segment and window so every
+    internal path runs: multiple drains per view, views spanning segment
+    boundaries, the window force-flush (slot reuse while in flight),
+    zero-kept-count views, and the final flush. Each completed view must
+    equal its per-view fused render, and views must complete in order."""
+    import jax.numpy as jnp
+    from moco_flow_tpu.render.packed import PackedStream
+
+    trainer = _packed_trainer(tmp_path)
+    ds = trainer.val_dataset
+    rcfg = trainer.rcfg_test
+    anneal = trainer.anneal()
+
+    views = []
+    none_mask = np.zeros((24 * 24,), bool)  # a zero-kept-count view
+    for i, (frame, extra) in enumerate(
+            [(0, None), (1, None), (2, none_mask), (0, None), (1, None),
+             (2, None), (0, None)]):
+        rays, _ = ds.frame_rays(frame)
+        bg = jnp.ones((rays.shape[0], 3)) * (0.1 + 0.1 * i)
+        handle = trainer.prepare_view(rays, frame, extra_mask=extra,
+                                      skip=True)
+        views.append((handle, bg))
+
+    # reference: per-view fused commits
+    seq = [trainer.commit_view(h, bg, rcfg, anneal=anneal)
+           for h, bg in views]
+
+    stream = PackedStream(trainer, rcfg, anneal,
+                          n_rays=24 * 24, ray_cols=views[0][0][0].shape[1],
+                          seg=128, window=2)
+    got = []
+    for h, bg in views:
+        rays_t, keep, _extra, count = h
+        got += stream.add_view(rays_t, keep, int(count), bg)
+    got += stream.flush()
+    assert len(got) == len(seq)
+    for i, (a, b) in enumerate(zip(seq, got)):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]),
+                                          err_msg=f"view {i} {k}")
