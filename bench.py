@@ -422,7 +422,10 @@ def _occ_axes(args, trainer) -> dict:
     rcfg_b = trainer.rcfg_test
     rcfg_e = dataclasses.replace(rcfg_b, fine_budget=0,
                                  coarse_probe=0)
-    reps = max(args.steps // 4, 3)
+    # occ axes stream reps views through the packed pipelined renderer; a
+    # video renders hundreds of views, so measure a long-enough stream that
+    # the one padded flush segment (<4096 rows, render/packed.py) is noise
+    reps = max(args.steps // 2, 6)
     _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
     trainer.occupancy_grid(0)  # compile + build outside the timed loop
     # steady-state per-frame grid cost (compile cached): what a
@@ -431,8 +434,12 @@ def _occ_axes(args, trainer) -> dict:
     # views (spherical/bullet renders) or is paid once per frame (pose
     # videos)
     trainer._occ_grids.clear()
+    from moco_flow_tpu.utils.sync import fence as _fence
     t0 = time.perf_counter()
-    trainer.occupancy_grid(0)
+    g = trainer.occupancy_grid(0)
+    # the device-resident build dispatches async (render/occupancy.py
+    # DeviceOccupancyGrid); fence it so this measures real device time
+    _fence(getattr(g, "sig_dev", None))
     grid_build_s = time.perf_counter() - t0
     r_skip, img_skip = time_render(trainer, rays, bg, rcfg_b, reps,
                                    tighten_frame=0, ray_skip=True)
@@ -445,6 +452,32 @@ def _occ_axes(args, trainer) -> dict:
     r_eskip, img_eskip = time_render(trainer, rays, bg, rcfg_e,
                                      reps, tighten_frame=0,
                                      ray_skip=True)
+
+    # training-pose VIDEO axis: one view per frame, a NEW occupancy grid
+    # per frame — the reference's flagship output mode
+    # (trainer_moco_flow.py:589-626). The per-view occ axes above amortize
+    # one grid over the whole stream; this axis pays every build, which
+    # the device-resident grid (render/occupancy.py DeviceOccupancyGrid)
+    # dispatches async inside the same stream. Exact sampling + tighten 0.
+    from moco_flow_tpu.utils.sync import fence as _f, fence_floor as _ff
+    n_vf = int(min(getattr(trainer, "num_frames", 1), 8))
+    vjobs = [(ds.frame_rays(f)[0], f, bg) for f in range(n_vf)]
+
+    def _video_pass():
+        last = None
+        trainer._occ_grids.clear()  # every frame pays its grid build
+        for last in trainer.render_views_pipelined(
+                iter(vjobs), rcfg_e, anneal=trainer.anneal(),
+                chunk=16384, skip=True):
+            pass
+        return last
+
+    vout = _video_pass()  # warmup: grid/tighten/render compiles
+    vfloor = _ff(vout)
+    t0 = time.perf_counter()
+    vout = _video_pass()
+    _f(vout)
+    r_video = rays.shape[0] * n_vf / (time.perf_counter() - t0 - vfloor)
     trainer.config.raw["model"]["occ_tighten"] = 1
 
     def psnr(img):
@@ -463,6 +496,9 @@ def _occ_axes(args, trainer) -> dict:
             float(trainer._occ_stats["empty_frac"]), 4),
         "occ_grid_res": args.occ_grid_res,
         "occ_grid_build_s": round(grid_build_s, 2),
+        "render_video_rays_per_sec_per_chip":
+            round(r_video / trainer.world_size, 1),
+        "render_video_frames": n_vf,
     }
 
     if args.student_axis:

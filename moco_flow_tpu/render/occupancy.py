@@ -107,6 +107,64 @@ class OccupancyGrid:
         return self._device_sig
 
 
+class DeviceOccupancyGrid:
+    """Duck-typed :class:`OccupancyGrid` whose ``sig`` bound LIVES ON
+    DEVICE (round-5). The device build (train/vis.py::_grid_builders)
+    previously fetched the pooled 28 MB lattice to host only for
+    ``device_sig()`` to re-upload it — a pure ~0.8 s/frame round trip over
+    the tunneled backend, and a HOST SYNC that serialized every per-frame
+    grid build against the render stream. Here the jitted build's outputs
+    are kept as device arrays: construction is fully async (a video's
+    frame i+1 grid builds while frame i renders, with zero host time), the
+    tighten kernel consumes ``device_sig()``/``outer_sig_dev`` directly,
+    and host mirrors (``sig``/``occ``/``occupancy_fraction``/``outer_sig``)
+    fetch lazily — only diagnostics pay the transfer."""
+
+    def __init__(self, sig_dev, extent: float, threshold: float,
+                 outer_sig_dev=None, outer_extent: float = float("inf")):
+        self.sig_dev = sig_dev                       # (R, R, R) device f32
+        self.extent = float(extent)
+        self.threshold = float(threshold)
+        self.outer_sig_dev = outer_sig_dev           # 0-d device f32 | None
+        self.outer_extent = float(outer_extent)
+        self._flat = None
+        self._sig_host = None
+
+    @property
+    def resolution(self) -> int:
+        return int(self.sig_dev.shape[0])
+
+    @property
+    def cell(self) -> float:
+        return 2.0 * self.extent / self.resolution
+
+    def device_sig(self):
+        if self._flat is None:
+            self._flat = self.sig_dev.reshape(-1)
+        return self._flat
+
+    # -- lazy host mirrors (diagnostics / the host tighten oracle) ---------
+
+    @property
+    def sig(self) -> np.ndarray:
+        if self._sig_host is None:
+            self._sig_host = np.asarray(self.sig_dev, np.float32)
+        return self._sig_host
+
+    @property
+    def occ(self) -> np.ndarray:
+        return self.sig > self.threshold
+
+    @property
+    def occupancy_fraction(self) -> float:
+        return float(self.occ.mean())
+
+    @property
+    def outer_sig(self) -> float:
+        return (0.0 if self.outer_sig_dev is None
+                else float(self.outer_sig_dev))
+
+
 def _dilate3d(occ: np.ndarray, steps: int = 1) -> np.ndarray:
     """3-D max-filter dilation by ``steps`` cells (full 3^3 neighborhood),
     pure numpy; works for bool (binary dilation) and float (running max)."""
@@ -169,16 +227,18 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
         from ..train.vis import grid_sig_device, outer_bound_device
         sig = grid_sig_device(trainer, frame_idx, resolution,
                               supersample=supersample, extent=extent,
-                              activation=activation, dilate=dilate)
-        outer_sig, outer_extent = 0.0, float(extent)
+                              activation=activation, dilate=dilate,
+                              fetch=False)
+        outer_sig, outer_extent = None, float(extent)
         if outer_factor > 1.0:
             outer_extent = float(extent * outer_factor)
             outer_sig = outer_bound_device(trainer, frame_idx, resolution,
-                                           extent, outer_extent, activation)
-        return OccupancyGrid(occ=np.ascontiguousarray(sig > threshold),
-                             extent=float(extent), threshold=float(threshold),
-                             sig=sig, outer_sig=outer_sig,
-                             outer_extent=outer_extent)
+                                           extent, outer_extent, activation,
+                                           fetch=False)
+        return DeviceOccupancyGrid(sig, extent=float(extent),
+                                   threshold=float(threshold),
+                                   outer_sig_dev=outer_sig,
+                                   outer_extent=outer_extent)
 
     from ..train.vis import sigma_grid
 
@@ -533,9 +593,12 @@ def tighten_ray_bounds_jax(grid: OccupancyGrid, rays, size,
         _TIGHTEN_JIT = jax.jit(
             _tighten_kernel,
             static_argnames=("r", "h", "w", "coarse", "n_probe"))
+    outer_sig = getattr(grid, "outer_sig_dev", None)
+    if outer_sig is None:  # host grids: plain float (tests, oracle path)
+        outer_sig = jnp.float32(grid.outer_sig)
     out, empty, empty_frac, range_ratio, kept_count = _TIGHTEN_JIT(
         grid.device_sig(), jnp.float32(grid.extent), jnp.float32(grid.cell),
-        jnp.float32(grid.outer_sig), jnp.float32(grid.outer_extent),
+        outer_sig.astype(jnp.float32), jnp.float32(grid.outer_extent),
         jnp.float32(tau_eps), jnp.float32(pad_cells),
         jnp.asarray(rays_np, jnp.float32),
         r=grid.resolution, h=h, w=w, coarse=coarse, n_probe=n_probe)

@@ -72,6 +72,11 @@ class PackedStream:
         self._out_rgb = jnp.zeros((self.w * self.n, 3), jnp.float32)
         self._out_depth = jnp.zeros((self.w * self.n,), jnp.float32)
         self._out_opa = jnp.zeros((self.w * self.n,), jnp.float32)
+        # drain segment sizes, largest first: steady-state drains use
+        # ``seg``; the flush tail drains in seg//4 steps so a short stream's
+        # one padded render wastes <seg//4 rows, not <seg (2 compiled drain
+        # programs total, cached across streams)
+        self.sizes = sorted({self.seg, max(self.seg // 4, 1)}, reverse=True)
         self.fill = 0      # live (unrendered) buffer rows, host mirror
         self.pos = 0       # stream rows appended
         self.drained = 0   # stream rows rendered
@@ -117,28 +122,32 @@ class PackedStream:
                 out_opa, jnp.zeros((n,), jnp.float32), (slot * n,))
             return out_rgb, out_depth, out_opa
 
-        def drain(params, anneal, buf, dest, fill, out_rgb, out_depth,
-                  out_opa, key):
-            """Render the buffer's first segment and scatter the composited
-            pixels to their views' output slots. Rows at/past ``fill``
-            (append padding, flush tail) render as wasted-but-harmless
-            duplicates and are masked out of the scatter."""
-            head = buf[:seg]
-            rays, bg = head[:, :rc], head[:, rc:]
-            res = render_rays(params, statics, anneal, rays, bg, key, rcfg)
-            typ = "fine" if "rgb_fine" in res else "coarse"
-            opacity = res[f"opacity_{typ}"]
-            fg = opacity > 0
-            rgb_v = jnp.where(fg[:, None], res[f"rgb_{typ}"], bg)
-            dep_v = jnp.where(fg, res[f"depth_{typ}"], 8.0)
-            live = jnp.arange(seg) < fill
-            d = jnp.where(live, dest[:seg], oob)
-            out_rgb = out_rgb.at[d].set(rgb_v, mode="drop")
-            out_depth = out_depth.at[d].set(dep_v, mode="drop")
-            out_opa = out_opa.at[d].set(opacity, mode="drop")
-            buf = jnp.roll(buf, -seg, axis=0)
-            dest = jnp.roll(dest, -seg)
-            return buf, dest, out_rgb, out_depth, out_opa
+        def make_drain(sz: int):
+            def drain(params, anneal, buf, dest, fill, out_rgb, out_depth,
+                      out_opa, key):
+                """Render the buffer's first ``sz`` rows and scatter the
+                composited pixels to their views' output slots. Rows at/past
+                ``fill`` (append padding, flush tail) render as
+                wasted-but-harmless duplicates and are masked out of the
+                scatter."""
+                head = buf[:sz]
+                rays, bg = head[:, :rc], head[:, rc:]
+                res = render_rays(params, statics, anneal, rays, bg, key,
+                                  rcfg)
+                typ = "fine" if "rgb_fine" in res else "coarse"
+                opacity = res[f"opacity_{typ}"]
+                fg = opacity > 0
+                rgb_v = jnp.where(fg[:, None], res[f"rgb_{typ}"], bg)
+                dep_v = jnp.where(fg, res[f"depth_{typ}"], 8.0)
+                live = jnp.arange(sz) < fill
+                d = jnp.where(live, dest[:sz], oob)
+                out_rgb = out_rgb.at[d].set(rgb_v, mode="drop")
+                out_depth = out_depth.at[d].set(dep_v, mode="drop")
+                out_opa = out_opa.at[d].set(opacity, mode="drop")
+                buf = jnp.roll(buf, -sz, axis=0)
+                dest = jnp.roll(dest, -sz)
+                return buf, dest, out_rgb, out_depth, out_opa
+            return jax.jit(drain)
 
         def slice_view(out_rgb, out_depth, out_opa, slot):
             r = jax.lax.dynamic_slice(out_rgb, (slot * n, 0), (n, 3))
@@ -147,7 +156,8 @@ class PackedStream:
             return r, dd, o
 
         fns = {"append": jax.jit(append), "init": jax.jit(init_slot),
-               "drain": jax.jit(drain), "slice": jax.jit(slice_view)}
+               "slice": jax.jit(slice_view),
+               "drain": {sz: make_drain(sz) for sz in self.sizes}}
         cache[key_] = fns
         return fns
 
@@ -195,19 +205,23 @@ class PackedStream:
 
     # -- internals ----------------------------------------------------------
 
-    def _drain_one(self, fns):
+    def _drain_one(self, fns, size: int | None = None):
+        size = self.seg if size is None else size
         self._buf, self._dest, self._out_rgb, self._out_depth, \
-            self._out_opa = fns["drain"](
+            self._out_opa = fns["drain"][size](
                 self.trainer.params, self.anneal, self._buf, self._dest,
                 jnp.int32(self.fill), self._out_rgb, self._out_depth,
                 self._out_opa, self.key)
-        consumed = min(self.seg, self.fill)
+        consumed = min(size, self.fill)
         self.fill -= consumed
         self.drained += consumed
 
     def _drain_all(self, fns):
-        while self.fill > 0:
-            self._drain_one(fns)
+        for size in self.sizes:
+            while self.fill >= size:
+                self._drain_one(fns, size)
+        if self.fill > 0:  # the stream's one padded render, <sizes[-1] waste
+            self._drain_one(fns, self.sizes[-1])
 
     def _collect(self, fns) -> list[dict]:
         out = []

@@ -381,29 +381,39 @@ def _grid_builders(trainer, frame_idx: int, resolution: int,
 def grid_sig_device(trainer, frame_idx: int, resolution: int,
                     supersample: int = 2, extent: float = 1.5,
                     activation: str = "relu", dilate: int = 1,
-                    chunk: int = 131072) -> np.ndarray:
-    """On-device occupancy sigma lattice (see :func:`_grid_builders`)."""
+                    chunk: int = 131072, fetch: bool = True):
+    """On-device occupancy sigma lattice (see :func:`_grid_builders`).
+    ``fetch=False`` returns the (r, r, r) DEVICE array without syncing —
+    the dispatch is async, so a caller that builds frame i+1's grid while
+    frame i renders pays zero host time (render/occupancy.py
+    DeviceOccupancyGrid)."""
     grid_fn, _ = _grid_builders(trainer, frame_idx, resolution, supersample,
                                 activation, dilate, chunk)
     norm_idx = jnp.asarray(
         frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
-    return np.asarray(grid_fn(trainer.params, trainer.anneal(), norm_idx,
-                              jnp.float32(extent)), np.float32)
+    sig = grid_fn(trainer.params, trainer.anneal(), norm_idx,
+                  jnp.float32(extent))
+    if not fetch:
+        return sig
+    return np.asarray(sig, np.float32)
 
 
 def outer_bound_device(trainer, frame_idx: int, resolution: int,
                        extent: float, outer_extent: float,
                        activation: str = "relu",
-                       chunk: int = 131072) -> float:
-    """Max activated density OUTSIDE the grid cube — one scalar readback
-    (see :func:`_grid_builders`)."""
+                       chunk: int = 131072, fetch: bool = True):
+    """Max activated density OUTSIDE the grid cube — one scalar (device
+    0-d array with ``fetch=False``, no sync; see :func:`_grid_builders`)."""
     _, outer_fn = _grid_builders(trainer, frame_idx, resolution,
                                  supersample=1, activation=activation,
                                  dilate=1, chunk=chunk)
     norm_idx = jnp.asarray(
         frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
-    return float(outer_fn(trainer.params, trainer.anneal(), norm_idx,
-                          jnp.float32(extent), jnp.float32(outer_extent)))
+    out = outer_fn(trainer.params, trainer.anneal(), norm_idx,
+                   jnp.float32(extent), jnp.float32(outer_extent))
+    if not fetch:
+        return out
+    return float(out)
 
 
 def visualize_mesh(trainer, frame_idx: int, n_grid: int = 256,

@@ -52,8 +52,10 @@ def main():
         for res in (64, 128, 192, 256):
             trainer.config.raw["model"]["occ_res"] = res
             trainer._occ_grids.clear()
+            from moco_flow_tpu.utils.sync import fence
             t0 = time.perf_counter()
-            trainer.occupancy_grid(0)  # build is synchronous (fetches sig)
+            g = trainer.occupancy_grid(0)
+            fence(getattr(g, "sig_dev", None))  # device builds are async
             build_s = time.perf_counter() - t0
             ws = max(trainer.world_size, 1)
             trainer.config.raw["model"]["occ_tighten"] = 0

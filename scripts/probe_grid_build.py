@@ -36,6 +36,9 @@ def main():
                                       supersample=2, threshold=5.0,
                                       extent=trainer._occ_auto_extent(0),
                                       device=dev)
+            if dev:  # device builds dispatch async; fence before timing
+                from moco_flow_tpu.utils.sync import fence
+                fence(g2.sig_dev)
             out[f"{mode}_steady_s"] = round(time.perf_counter() - t0, 2)
             out[f"{mode}_occ_frac"] = round(g2.occupancy_fraction, 4)
             out[f"{mode}_outer_sig"] = round(g2.outer_sig, 4)
