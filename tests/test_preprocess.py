@@ -153,3 +153,29 @@ def test_create_init_nerf_data_end_to_end(tmp_path):
     # the rendered body silhouette lies inside the AABB hull mask
     alpha = (img[..., 3] > 0).reshape(-1)
     assert (alpha & ~np.asarray(mask)).sum() <= alpha.sum() * 0.3
+
+
+def test_validate_ps_fixtures(tmp_path):
+    """The People-Snapshot validation runbook (scripts/validate_ps.py) runs
+    green end to end on fabricated fixtures: GT triplet -> converter ->
+    dataset build -> 3-stage training -> test.py --eval_metrics. This is
+    the CI gate for round-4 verdict item 8 — the exact command a user runs
+    the moment real data exists, minus the video extraction."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "scripts/validate_ps.py", "--fixtures",
+         "--work", str(tmp_path / "vps"), "--reso", "24", "--frames", "2",
+         "--steps", "6", "--eval_max_frames", "1", "--stage_timeout", "600"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "trained" and out["frames"] == 1
+    assert np.isfinite(out["psnr"]) and np.isfinite(out["ssim"])

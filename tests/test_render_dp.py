@@ -12,6 +12,48 @@ from moco_flow_tpu.utils.config import Config
 from tests.test_stages import moco_config
 
 
+def test_fused_kernels_under_shard_map(tmp_path):
+    """The fused Pallas megakernels (interpret mode on CPU) inside a REAL
+    sharded train step: `mlp_impl: fused` through dp_jit/shard_map on the
+    8-device mesh must match `mlp_impl: xla` step-for-step — the exact
+    combination production multi-chip training runs (round-4 verdict: the
+    fused path was only ever exercised single-device)."""
+    root = str(tmp_path / "scene")
+    smpl = make_synthetic_scene(root, n_frames=2, size=24, focal=30.0)
+
+    def trainer_for(impl, name):
+        raw = moco_config(root, str(tmp_path))
+        raw["model"].update({"mlp_impl": impl, "N_rand": 8, "N_samples": 4,
+                             "N_importance": 4, "chunk": 256})
+        raw["trainer"]["num_iters"] = 4
+        return get_trainer(Config(raw, mode="train", job_name=name),
+                           smpl_data=smpl, mesh=make_mesh(8))
+
+    tf = trainer_for("fused", "fused8")
+    tx = trainer_for("xla", "xla8")
+    tx.params = jax.tree.map(jnp.asarray, tf.params)  # identical init
+    assert tf.world_size == 8 and tf.rcfg_train.mlp_impl == "fused"
+
+    def run(tr, n):
+        out = []
+        for _ in range(n):
+            out.append(tr.train_step())
+            tr.clock.tick(tr.world_size)
+        return out
+
+    mf = run(tf, 3)
+    mx = run(tx, 3)
+    for a, b in zip(mf, mx):
+        for k in a:
+            np.testing.assert_allclose(float(a[k]), float(b[k]),
+                                       rtol=2e-3, atol=2e-4, err_msg=k)
+    flat_f = jax.tree_util.tree_leaves(tf.params)
+    flat_x = jax.tree_util.tree_leaves(tx.params)
+    for pa, pb in zip(flat_f, flat_x):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_sharded_render_matches_single(tmp_path):
     root = str(tmp_path / "scene")
     smpl = make_synthetic_scene(root, n_frames=2, size=40, focal=50.0)
