@@ -478,6 +478,27 @@ def _occ_axes(args, trainer) -> dict:
     vout = _video_pass()
     _f(vout)
     r_video = rays.shape[0] * n_vf / (time.perf_counter() - t0 - vfloor)
+
+    # same video through the warp-pullback builder (occ_builder: warp):
+    # per-frame grids via canonical-bound pullback instead of full trunk
+    # re-evaluation; the canonical grid is rebuilt once per pass (honest:
+    # one per video). Quality = frame-0 skip render vs the exact render.
+    r_video_warp = warp_stats = None
+    if "bw_NoF" in trainer.params:
+        trainer.config.raw["model"]["occ_builder"] = "warp"
+        vout = _video_pass()  # warmup compiles for the pullback programs
+        vfloor = _ff(vout)
+        t0 = time.perf_counter()
+        vout = _video_pass()
+        _f(vout)
+        r_video_warp = rays.shape[0] * n_vf / (time.perf_counter() - t0
+                                               - vfloor)
+        _, img_wskip = time_render(trainer, rays, bg, rcfg_e, 1,
+                                   tighten_frame=0, ray_skip=True)
+        warp_stats = {"img": img_wskip,
+                      "empty_frac": float(trainer._occ_stats["empty_frac"])}
+        trainer.config.raw["model"]["occ_builder"] = "direct"
+        trainer._occ_grids.clear()
     trainer.config.raw["model"]["occ_tighten"] = 1
 
     def psnr(img):
@@ -500,6 +521,11 @@ def _occ_axes(args, trainer) -> dict:
             round(r_video / trainer.world_size, 1),
         "render_video_frames": n_vf,
     }
+    if r_video_warp is not None:
+        occ["render_video_warp_rays_per_sec_per_chip"] = round(
+            r_video_warp / trainer.world_size, 1)
+        occ["render_video_warp_psnr_vs_exact"] = psnr(warp_stats["img"])
+        occ["occ_warp_empty_frac"] = round(warp_stats["empty_frac"], 4)
 
     if args.student_axis:
         # student-trunk distillation axis (render/distill.py): the

@@ -197,7 +197,8 @@ def _activate(sig: np.ndarray, rcfg) -> np.ndarray:
 def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
                          supersample: int = 2, threshold: float = 5.0,
                          extent: float = 1.5, dilate: int = 1,
-                         outer_factor: float = 2.0, device: bool = True
+                         outer_factor: float = 2.0, device: bool = True,
+                         builder: str = "direct", cano_grid=None
                          ) -> OccupancyGrid:
     """Occupancy of sigma(bw_warp(x, frame)) (or canonical sigma for
     frame_idx == -1) over [-extent, extent]^3.
@@ -222,6 +223,24 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
     activation = ("softplus" if rcfg is not None
                   and getattr(rcfg, "activation", None) == "softplus"
                   else "relu")
+
+    if builder == "warp" and frame_idx != -1 and cano_grid is not None:
+        # per-frame grid = the canonical grid's bound pulled back through
+        # the frame's bw warp (train/vis.py::_warp_grid_builders) — ~4-5x
+        # cheaper than re-evaluating the trunk on the full lattice; points
+        # warping outside the canonical cube degrade to "cannot skip"
+        from ..train.vis import warp_grid_device
+        outer_extent = float(extent * outer_factor)
+        sig, outer_sig = warp_grid_device(
+            trainer, frame_idx, resolution, cano_grid,
+            supersample=supersample, extent=extent, dilate=dilate,
+            outer_extent=outer_extent if outer_factor > 1.0 else None)
+        return DeviceOccupancyGrid(sig, extent=float(extent),
+                                   threshold=float(threshold),
+                                   outer_sig_dev=outer_sig,
+                                   outer_extent=(outer_extent
+                                                 if outer_factor > 1.0
+                                                 else float(extent)))
 
     if device:
         from ..train.vis import grid_sig_device, outer_bound_device

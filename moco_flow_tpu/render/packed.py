@@ -188,6 +188,19 @@ class PackedStream:
             self._buf, self._dest, jnp.int32(self.fill),
             jnp.asarray(rays, jnp.float32), jnp.asarray(keep), bg,
             jnp.int32(slot))
+        if not fns.get("_warmed"):
+            # compile EVERY drain size now, on the first real view's rows
+            # (fill=0 masks all scatters; outputs are discarded). A short
+            # warmup stream otherwise only exercises the tail size, and the
+            # first steady ``seg`` drain then pays its 10-100 s remote
+            # compile inside whatever a caller is timing (the round-5 bench
+            # regression: occ axes 435k -> 51k rays/s).
+            fns["_warmed"] = True
+            for size in self.sizes:
+                fns["drain"][size](
+                    self.trainer.params, self.anneal, self._buf, self._dest,
+                    jnp.int32(0), self._out_rgb, self._out_depth,
+                    self._out_opa, self.key)
         self.fill += count
         self.pos += count
         self._views.append(_View(slot=slot, end=self.pos))

@@ -468,7 +468,14 @@ class BaseTrainer:
                 # auto = the on-device jitted tightener (zero host numpy in
                 # the timed render loop); "host" = the original numpy path
                 # (fallback + cross-check oracle, tests/test_occupancy.py)
-                "impl": str(m.get("occ_impl", "auto"))}
+                "impl": str(m.get("occ_impl", "auto")),
+                # direct (default): evaluate sigma(bw_warp(x)) on the full
+                # per-frame lattice. warp: pull the CANONICAL grid's bound
+                # back through the frame's bw warp — ~4-5x cheaper per
+                # frame (training-pose videos build one grid per frame),
+                # same lattice-empirical conservativeness
+                # (render/occupancy.py::build_occupancy_grid)
+                "builder": str(m.get("occ_builder", "direct"))}
 
     def _occ_auto_extent(self, frame_idx: int) -> float:
         """Half-width of the cube covering every sample point of the frame's
@@ -505,10 +512,14 @@ class BaseTrainer:
             c = self.occ_cfg
             extent = (c["extent"] if c["extent"] > 0
                       else self._occ_auto_extent(frame_idx))
+            cano = None
+            if (c["builder"] == "warp" and key != -1
+                    and "bw_NoF" in self.params):
+                cano = self.occupancy_grid(-1)  # built once, direct
             self._occ_grids[key] = build_occupancy_grid(
                 self, frame_idx, resolution=c["resolution"],
                 supersample=c["supersample"], threshold=c["threshold"],
-                extent=extent)
+                extent=extent, builder=c["builder"], cano_grid=cano)
         return self._occ_grids[key]
 
     def tighten_rays(self, rays, frame_idx: int, size=None):

@@ -378,6 +378,126 @@ def _grid_builders(trainer, frame_idx: int, resolution: int,
     return fns
 
 
+def _warp_grid_builders(trainer, resolution: int, supersample: int,
+                        dilate: int, chunk: int):
+    """Cached jitted builders for the WARP-PULLBACK occupancy grid
+    (``occ_builder: warp``): per-frame observation-space occupancy is the
+    CANONICAL grid's bound pulled back through the frame's bw warp —
+    ``sig_obs(x) = C_sig[cell(bw(x, frame))]`` — instead of re-evaluating
+    the full NeRF trunk at every lattice point. One NoF eval + one gather
+    per point replaces NoF + 8-layer trunk, so a training-pose video's
+    per-frame build drops ~4-5x while staying exactly as lattice-empirical
+    as the direct build: ``C_sig`` is itself the pooled+dilated canonical
+    upper bound (the same quantity frame -1 renders skip against), the obs
+    lattice is supersampled and max-pooled identically, and points warping
+    OUTSIDE the canonical cube read its measured outer bound (its shell)
+    or +inf (beyond) — degrading to "cannot skip", never to a dropped ray.
+
+    Returns ``(grid_fn, outer_fn)``:
+      grid_fn(params, anneal, norm_idx, extent, c_sig, c_extent,
+              c_outer_sig, c_outer_extent) -> (r, r, r) f32
+      outer_fn(... , outer_extent) -> scalar max outside [-extent,extent]^3
+    """
+    statics = trainer.statics
+    cache = getattr(trainer, "_sigma_eval_fns", None)
+    if cache is None:
+        cache = trainer._sigma_eval_fns = {}
+    key = ("warpgrid", statics, resolution, supersample, dilate, chunk)
+    fns = cache.get(key)
+    if fns is not None:
+        return fns
+
+    def _lookup_cano(y, c_sig, c_extent, c_outer_sig, c_outer_extent):
+        """Three-zone canonical bound (same zones as the tighten kernel,
+        render/occupancy.py::_tighten_kernel)."""
+        c_r = c_sig.shape[0]
+        cell = 2.0 * c_extent / c_r
+        ids = jnp.floor((y + c_extent) / cell).astype(jnp.int32)
+        inb = jnp.all((ids >= 0) & (ids < c_r), axis=-1)
+        ids = jnp.clip(ids, 0, c_r - 1)
+        flat = (ids[..., 0] * c_r + ids[..., 1]) * c_r + ids[..., 2]
+        vals = jnp.take(c_sig.reshape(-1), flat)
+        in_shell = jnp.all(jnp.abs(y) <= c_outer_extent, axis=-1)
+        return jnp.where(inb, vals,
+                         jnp.where(in_shell, c_outer_sig, jnp.inf))
+
+    def _pullback_lattice(params, anneal, norm_idx, extent, n, c_sig,
+                          c_extent, c_outer_sig, c_outer_extent):
+        n_tiles = -(-n ** 3 // chunk)
+        step = 2.0 * extent / (n - 1)
+
+        def one(t):
+            f = jnp.minimum(t * chunk + jnp.arange(chunk), n ** 3 - 1)
+            ijk = jnp.stack([f // (n * n), (f // n) % n, f % n], axis=-1)
+            pts = ijk.astype(jnp.float32) * step - extent
+            y = nof_points(params["bw_NoF"], statics, anneal, pts,
+                           norm_idx, RenderConfig(use_nof=True))
+            return _lookup_cano(y, c_sig, c_extent, c_outer_sig,
+                                c_outer_extent)
+
+        sig = jax.lax.map(one, jnp.arange(n_tiles))
+        return sig.reshape(-1)[:n ** 3].reshape(n, n, n)
+
+    def _dilate_max(sig, n_dilate):
+        for _ in range(n_dilate):
+            sig = jax.lax.reduce_window(sig, -jnp.inf, jax.lax.max,
+                                        (3, 3, 3), (1, 1, 1), "SAME")
+        return sig
+
+    def _grid(params, anneal, norm_idx, extent, c_sig, c_extent,
+              c_outer_sig, c_outer_extent):
+        n = resolution * supersample
+        sig = _pullback_lattice(params, anneal, norm_idx, extent, n, c_sig,
+                                c_extent, c_outer_sig, c_outer_extent)
+        if supersample > 1:
+            r, s = resolution, supersample
+            sig = sig.reshape(r, s, r, s, r, s).max(axis=(1, 3, 5))
+        return _dilate_max(sig, dilate)  # c_sig is already activated
+
+    def _outer(params, anneal, norm_idx, extent, outer_extent, c_sig,
+               c_extent, c_outer_sig, c_outer_extent):
+        sig = _dilate_max(
+            _pullback_lattice(params, anneal, norm_idx, outer_extent,
+                              resolution, c_sig, c_extent, c_outer_sig,
+                              c_outer_extent), 1)
+        c = jnp.linspace(-outer_extent, outer_extent, resolution)
+        inside = ((jnp.abs(c)[:, None, None] <= extent)
+                  & (jnp.abs(c)[None, :, None] <= extent)
+                  & (jnp.abs(c)[None, None, :] <= extent))
+        return jnp.max(jnp.where(inside, -jnp.inf, sig))
+
+    fns = cache[key] = (jax.jit(_grid), jax.jit(_outer))
+    return fns
+
+
+def warp_grid_device(trainer, frame_idx: int, resolution: int, cano_grid,
+                     supersample: int = 2, extent: float = 1.5,
+                     dilate: int = 1, chunk: int = 131072,
+                     outer_extent: float | None = None):
+    """Warp-pullback per-frame grid (see :func:`_warp_grid_builders`):
+    returns device ``(sig (r,r,r), outer_sig 0-d | None)`` without syncing.
+    ``cano_grid`` is the trainer's canonical DeviceOccupancyGrid."""
+    grid_fn, outer_fn = _warp_grid_builders(trainer, resolution, supersample,
+                                            dilate, chunk)
+    norm_idx = jnp.asarray(
+        frame_idx * 2.0 / max(getattr(trainer, "num_frames", 1), 1) - 1.0)
+    c_sig = getattr(cano_grid, "sig_dev", None)
+    if c_sig is None:
+        c_sig = jnp.asarray(cano_grid.sig)
+    c_outer = getattr(cano_grid, "outer_sig_dev", None)
+    if c_outer is None:
+        c_outer = jnp.float32(cano_grid.outer_sig)
+    args = (trainer.params, trainer.anneal(), norm_idx, jnp.float32(extent),
+            c_sig, jnp.float32(cano_grid.extent), c_outer,
+            jnp.float32(cano_grid.outer_extent))
+    sig = grid_fn(*args)
+    outer_sig = None
+    if outer_extent is not None:
+        outer_sig = outer_fn(args[0], args[1], args[2], args[3],
+                             jnp.float32(outer_extent), *args[4:])
+    return sig, outer_sig
+
+
 def grid_sig_device(trainer, frame_idx: int, resolution: int,
                     supersample: int = 2, extent: float = 1.5,
                     activation: str = "relu", dilate: int = 1,

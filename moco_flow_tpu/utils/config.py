@@ -43,7 +43,8 @@ _SCHEMA = {
               "fine_budget", "coarse_probe",
               "share_coarse_warps",
               "occ_res", "occ_threshold", "occ_supersample", "occ_extent",
-              "occ_tau", "occ_impl", "occ_tighten", "masked_render",
+              "occ_tau", "occ_impl", "occ_tighten", "occ_builder",
+              "masked_render",
               "frame_sampling",
               "nof_embedding_xyz", "nof_embedding_ind", "nerf_embedding_xyz",
               "nerf_embedding_dir", "nerf_embedding_ind",

@@ -641,3 +641,61 @@ def test_packed_stream_small_segments(tmp_path):
             np.testing.assert_array_equal(np.asarray(a[k]),
                                           np.asarray(b[k]),
                                           err_msg=f"view {i} {k}")
+
+
+def test_warp_pullback_grid(tmp_path):
+    """The warp-pullback builder (``occ_builder: warp``,
+    train/vis.py::_warp_grid_builders): per-frame occupancy = the canonical
+    grid's bound gathered at bw-warped lattice points. Checks (1) the
+    device program against a numpy oracle of the specified math, and (2)
+    conservativeness vs the direct build on the same field — every cell
+    the direct build marks occupied must be occupied in the pullback grid
+    (the canonical bound + dilation dominates point evaluations up to the
+    shared lattice-empirical gap)."""
+    import jax.numpy as jnp
+    from moco_flow_tpu.render.occupancy import build_occupancy_grid
+    from moco_flow_tpu.render.volume import RenderConfig
+    from moco_flow_tpu.train.stage_nof import nof_points
+
+    trainer = _packed_trainer(tmp_path, n_frames=2)
+    res, ss, ext = 8, 2, 1.5
+    cano = build_occupancy_grid(trainer, -1, resolution=res, supersample=ss,
+                                threshold=0.05, extent=ext, device=True)
+    warp = build_occupancy_grid(trainer, 0, resolution=res, supersample=ss,
+                                threshold=0.05, extent=ext, builder="warp",
+                                cano_grid=cano)
+    direct = build_occupancy_grid(trainer, 0, resolution=res, supersample=ss,
+                                  threshold=0.05, extent=ext, device=True)
+
+    # (1) numpy oracle of the pullback spec
+    n = res * ss
+    step = 2.0 * ext / (n - 1)
+    f = np.arange(n ** 3)
+    ijk = np.stack([f // (n * n), (f // n) % n, f % n], axis=-1)
+    pts = ijk.astype(np.float32) * step - ext
+    norm_idx = jnp.asarray(0 * 2.0 / trainer.num_frames - 1.0)
+    y = np.asarray(nof_points(trainer.params["bw_NoF"], trainer.statics,
+                              trainer.anneal(), jnp.asarray(pts), norm_idx,
+                              RenderConfig(use_nof=True)))
+    c_sig = np.asarray(cano.sig)
+    cell = 2.0 * ext / res
+    ids = np.floor((y + ext) / cell).astype(np.int64)
+    inb = ((ids >= 0) & (ids < res)).all(-1)
+    ids = np.clip(ids, 0, res - 1)
+    vals = c_sig[ids[:, 0], ids[:, 1], ids[:, 2]]
+    in_shell = (np.abs(y) <= cano.outer_extent).all(-1)
+    vals = np.where(inb, vals,
+                    np.where(in_shell, cano.outer_sig, np.inf))
+    sig = vals.reshape(res, ss, res, ss, res, ss).max(axis=(1, 3, 5))
+    pad = np.pad(sig, 1, constant_values=-np.inf)
+    dil = np.max(np.stack([pad[i:i + res, j:j + res, k:k + res]
+                           for i in range(3) for j in range(3)
+                           for k in range(3)]), axis=0)
+    got = np.asarray(warp.sig)
+    both_inf = np.isinf(dil) & np.isinf(got)
+    np.testing.assert_allclose(np.where(both_inf, 0.0, got),
+                               np.where(both_inf, 0.0, dil),
+                               rtol=1e-4, atol=1e-4)
+
+    # (2) conservativeness: direct-occupied => warp-occupied
+    assert not (direct.occ & ~warp.occ).any()
