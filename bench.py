@@ -274,6 +274,10 @@ def main():
                          "128 -> 601k @ 78.4, 192 -> 713k @ 120 dB, "
                          "256 -> 721k @ 120 dB; 192 is the knee (256 "
                          "costs 2.7x the grid build for +1%)")
+    ap.add_argument("--video_scale", type=int, default=2,
+                    help="video-axis frame size as a multiple of the bench "
+                         "scene's 256^2 (2 -> 512^2; production "
+                         "People-Snapshot frames are 1080^2)")
     ap.add_argument("--student", default="4x128",
                     help="student trunk architecture 'DxW'")
     ap.add_argument("--student_steps", type=int, default=3000,
@@ -427,7 +431,11 @@ def _occ_axes(args, trainer) -> dict:
     # the one padded flush segment (<4096 rows, render/packed.py) is noise
     reps = max(args.steps // 2, 6)
     _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
-    trainer.occupancy_grid(0)  # compile + build outside the timed loop
+    from moco_flow_tpu.utils.sync import fence as _fence0
+    g0 = trainer.occupancy_grid(0)  # compile + build outside the timed loop
+    _fence0(getattr(g0, "sig_dev", None))  # async build: drain it BEFORE
+    # the timed rebuild below, or its compile lands inside that fence
+    # (measured: 12.15 s "build" = first build's compile + both builds)
     # steady-state per-frame grid cost (compile cached): what a
     # training-pose video pays per NEW frame — reported, not folded into
     # the per-view rates, matching how the grid amortizes over a frame's
@@ -461,7 +469,16 @@ def _occ_axes(args, trainer) -> dict:
     # dispatches async inside the same stream. Exact sampling + tighten 0.
     from moco_flow_tpu.utils.sync import fence as _f, fence_floor as _ff
     n_vf = int(min(getattr(trainer, "num_frames", 1), 8))
-    vjobs = [(ds.frame_rays(f)[0], f, bg) for f in range(n_vf)]
+    # video frames render at PRODUCTION size (--video_scale x the bench
+    # scene's 256^2; People-Snapshot's flagship videos are 1080^2): at
+    # 256^2 a frame is 65k rays against a ~1-2 s grid build, which no
+    # build scheme can amortize — the real workload carries 16x the rays
+    # per grid
+    vs = max(int(getattr(args, "video_scale", 2)), 1)
+    vrays = [ds.frame_rays_scaled(f, vs)[0] if vs > 1
+             else ds.frame_rays(f)[0] for f in range(n_vf)]
+    vbg = jnp.ones((vrays[0].shape[0], 3))
+    vjobs = [(vrays[f], f, vbg) for f in range(n_vf)]
 
     def _video_pass():
         last = None
@@ -477,7 +494,8 @@ def _occ_axes(args, trainer) -> dict:
     t0 = time.perf_counter()
     vout = _video_pass()
     _f(vout)
-    r_video = rays.shape[0] * n_vf / (time.perf_counter() - t0 - vfloor)
+    r_video = vrays[0].shape[0] * n_vf / (time.perf_counter() - t0
+                                          - vfloor)
 
     # same video through the warp-pullback builder (occ_builder: warp):
     # per-frame grids via canonical-bound pullback instead of full trunk
@@ -491,8 +509,8 @@ def _occ_axes(args, trainer) -> dict:
         t0 = time.perf_counter()
         vout = _video_pass()
         _f(vout)
-        r_video_warp = rays.shape[0] * n_vf / (time.perf_counter() - t0
-                                               - vfloor)
+        r_video_warp = vrays[0].shape[0] * n_vf / (
+            time.perf_counter() - t0 - vfloor)
         _, img_wskip = time_render(trainer, rays, bg, rcfg_e, 1,
                                    tighten_frame=0, ray_skip=True)
         warp_stats = {"img": img_wskip,
@@ -520,6 +538,7 @@ def _occ_axes(args, trainer) -> dict:
         "render_video_rays_per_sec_per_chip":
             round(r_video / trainer.world_size, 1),
         "render_video_frames": n_vf,
+        "render_video_rays_per_frame": int(vrays[0].shape[0]),
     }
     if r_video_warp is not None:
         occ["render_video_warp_rays_per_sec_per_chip"] = round(

@@ -309,6 +309,29 @@ class MoCoFlowDataset:
         mask = self.camera.valid_rays_mask(corners, pose)
         return rays, mask
 
+    def frame_rays_scaled(self, idx: int, scale: int,
+                          c2w4: np.ndarray | None = None):
+        """:meth:`frame_rays` at ``scale`` x the dataset resolution — the
+        production frame sizes (People-Snapshot renders 1080^2; the bench
+        scene stores 256^2) without re-decoding images. Same camera model,
+        intrinsics scaled; no GT pairing (video/throughput use)."""
+        from ..geometry.camera import Camera
+        cams = getattr(self, "_scaled_cams", None)
+        if cams is None:
+            cams = self._scaled_cams = {}
+        cam = cams.get(scale)
+        if cam is None:
+            k = np.asarray(self.camera.K, np.float64).copy()
+            k[0, :] *= scale
+            k[1, :] *= scale
+            cam = cams[scale] = Camera(
+                (self.size[0] * scale, self.size[1] * scale), k)
+        corners = self.frame_aabb_corners(idx)
+        pose = self.frame_c2w4(idx) if c2w4 is None else np.asarray(c2w4)
+        norm_idx = idx * 2.0 / self.num_frames - 1.0
+        return cam.make_rays(corners, pose, norm_idx), \
+            cam.valid_rays_mask(corners, pose)
+
     def frame_rgbs(self, idx: int, bkgd: jnp.ndarray | None = None):
         """Composited (H*W, 3) target image for one frame."""
         if self.images is None:

@@ -226,14 +226,20 @@ def build_occupancy_grid(trainer, frame_idx: int, resolution: int = 64,
 
     if builder == "warp" and frame_idx != -1 and cano_grid is not None:
         # per-frame grid = the canonical grid's bound pulled back through
-        # the frame's bw warp (train/vis.py::_warp_grid_builders) — ~4-5x
-        # cheaper than re-evaluating the trunk on the full lattice; points
-        # warping outside the canonical cube degrade to "cannot skip"
+        # the frame's bw warp (train/vis.py::_warp_grid_builders) — cheaper
+        # than re-evaluating the trunk on the full lattice; points warping
+        # outside the canonical cube degrade to "cannot skip". The pullback
+        # runs at supersample 1 with one EXTRA dilation step: its per-point
+        # cost is gather-dominated (XLA:TPU random gathers run ~2 GB/s,
+        # PERF.md hash-grid post-mortem), so 8x fewer points buys most of
+        # the speed, and the widened dilation covers the half-cell sampling
+        # gap the supersampled max-pool would have resolved — the same
+        # lattice-empirical tradeoff, one cell coarser.
         from ..train.vis import warp_grid_device
         outer_extent = float(extent * outer_factor)
         sig, outer_sig = warp_grid_device(
             trainer, frame_idx, resolution, cano_grid,
-            supersample=supersample, extent=extent, dilate=dilate,
+            supersample=1, extent=extent, dilate=dilate + 1,
             outer_extent=outer_extent if outer_factor > 1.0 else None)
         return DeviceOccupancyGrid(sig, extent=float(extent),
                                    threshold=float(threshold),

@@ -667,8 +667,11 @@ def test_warp_pullback_grid(tmp_path):
     direct = build_occupancy_grid(trainer, 0, resolution=res, supersample=ss,
                                   threshold=0.05, extent=ext, device=True)
 
-    # (1) numpy oracle of the pullback spec
-    n = res * ss
+    # (1) numpy oracle of the pullback spec: supersample 1, dilation
+    # dilate+1 = 2 (build_occupancy_grid's warp branch — the gather
+    # dominates per-point cost, so the pullback trades the supersampled
+    # max-pool for one extra dilation cell)
+    n = res
     step = 2.0 * ext / (n - 1)
     f = np.arange(n ** 3)
     ijk = np.stack([f // (n * n), (f // n) % n, f % n], axis=-1)
@@ -686,11 +689,13 @@ def test_warp_pullback_grid(tmp_path):
     in_shell = (np.abs(y) <= cano.outer_extent).all(-1)
     vals = np.where(inb, vals,
                     np.where(in_shell, cano.outer_sig, np.inf))
-    sig = vals.reshape(res, ss, res, ss, res, ss).max(axis=(1, 3, 5))
-    pad = np.pad(sig, 1, constant_values=-np.inf)
-    dil = np.max(np.stack([pad[i:i + res, j:j + res, k:k + res]
-                           for i in range(3) for j in range(3)
-                           for k in range(3)]), axis=0)
+    sig = vals.reshape(res, res, res)
+    for _ in range(2):
+        pad = np.pad(sig, 1, constant_values=-np.inf)
+        sig = np.max(np.stack([pad[i:i + res, j:j + res, k:k + res]
+                               for i in range(3) for j in range(3)
+                               for k in range(3)]), axis=0)
+    dil = sig
     got = np.asarray(warp.sig)
     both_inf = np.isinf(dil) & np.isinf(got)
     np.testing.assert_allclose(np.where(both_inf, 0.0, got),
