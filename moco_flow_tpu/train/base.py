@@ -531,7 +531,7 @@ class BaseTrainer:
         if self.occ_cfg["resolution"] <= 0:
             return rays
         grid = self.occupancy_grid(frame_idx)
-        size = size or self.val_dataset.size
+        size = size or self._infer_view_size(rays.shape[0])
         if self.occ_cfg["impl"] == "host":
             from ..render.occupancy import tighten_ray_bounds
             out, stats = tighten_ray_bounds(grid, np.asarray(rays), size,
@@ -550,6 +550,20 @@ class BaseTrainer:
         if not self.occ_cfg["tighten"]:
             return jnp.asarray(rays, jnp.float32)
         return out
+
+    def _infer_view_size(self, n_rays: int):
+        """(h, w) for a full-frame ray batch: the val size, or an integer
+        multiple of it (frame_rays_scaled renders production-size frames
+        from the same camera). Ambiguous counts must pass ``size=``."""
+        h0, w0 = self.val_dataset.size
+        if n_rays == h0 * w0:
+            return (h0, w0)
+        s = round((n_rays / (h0 * w0)) ** 0.5)
+        if s >= 1 and h0 * s * w0 * s == n_rays:
+            return (h0 * s, w0 * s)
+        raise ValueError(
+            f"cannot infer (h, w) for {n_rays} rays from val size "
+            f"({h0}, {w0}); pass size= explicitly")
 
     def occ_keep_mask(self):
         """Bool (n_rays,) mask from the LAST :meth:`tighten_rays` call:
