@@ -274,9 +274,9 @@ def main():
                          "128 -> 601k @ 78.4, 192 -> 713k @ 120 dB, "
                          "256 -> 721k @ 120 dB; 192 is the knee (256 "
                          "costs 2.7x the grid build for +1%)")
-    ap.add_argument("--video_scale", type=int, default=2,
+    ap.add_argument("--video_scale", type=int, default=4,
                     help="video-axis frame size as a multiple of the bench "
-                         "scene's 256^2 (2 -> 512^2; production "
+                         "scene's 256^2 (4 -> 1024^2; production "
                          "People-Snapshot frames are 1080^2)")
     ap.add_argument("--student", default="4x128",
                     help="student trunk architecture 'DxW'")
@@ -428,8 +428,9 @@ def _occ_axes(args, trainer) -> dict:
                                  coarse_probe=0)
     # occ axes stream reps views through the packed pipelined renderer; a
     # video renders hundreds of views, so measure a long-enough stream that
-    # the one padded flush segment (<4096 rows, render/packed.py) is noise
-    reps = max(args.steps // 2, 6)
+    # the one padded flush segment (<4096 rows) and the final partial
+    # count-sync (render/packed.py batches readbacks) are noise
+    reps = max(args.steps, 12)
     _, img_exact = time_render(trainer, rays, bg, rcfg_e, 1)
     from moco_flow_tpu.utils.sync import fence as _fence0
     g0 = trainer.occupancy_grid(0)  # compile + build outside the timed loop

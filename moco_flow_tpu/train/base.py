@@ -687,7 +687,9 @@ class BaseTrainer:
                     self._key0 = jax.random.key(0)
                 stream = PackedStream(self, rcfg, anneal or {}, n, rc,
                                       key=self._key0)
-            ready += stream.add_view(rays_t, keep, int(count), bg)
+            # count stays a DEVICE scalar: the stream reads counts back in
+            # batches (render/packed.py), so no per-view host sync remains
+            ready += stream.add_view(rays_t, keep, count, bg)
             return ready
 
         for job in it:

@@ -704,3 +704,26 @@ def test_warp_pullback_grid(tmp_path):
 
     # (2) conservativeness: direct-occupied => warp-occupied
     assert not (direct.occ & ~warp.occ).any()
+
+
+def test_scaled_frame_view_through_pipeline(tmp_path):
+    """frame_rays_scaled views (production frame sizes from the same
+    camera) must flow through the occupancy tighten + packed render path:
+    tighten_rays infers the scaled (h, w) from the ray count (the round-5
+    bench video axis crashed on the val-size assumption)."""
+    import jax.numpy as jnp
+
+    trainer = _packed_trainer(tmp_path)
+    ds = trainer.val_dataset
+    rays, _ = ds.frame_rays_scaled(0, 2)
+    assert rays.shape[0] == 4 * 24 * 24
+    jobs = [(rays, 0, jnp.ones((rays.shape[0], 3)))]
+    outs = list(trainer.render_views_pipelined(
+        iter(jobs), trainer.rcfg_test, anneal=trainer.anneal(), skip=True))
+    typ = "rgb_fine" if "rgb_fine" in outs[0] else "rgb_coarse"
+    assert outs[0][typ].shape == (4 * 24 * 24, 3)
+    assert np.isfinite(np.asarray(outs[0][typ])).all()
+    # ambiguous ray counts must raise, not mis-reshape
+    import pytest
+    with pytest.raises(ValueError, match="cannot infer"):
+        trainer._infer_view_size(24 * 24 + 7)
