@@ -267,23 +267,27 @@ def _nerf_fold(params: dict, cfg: NeRFConfig, n_freqs: int,
     ws = []
 
     def pe_rows(w):
-        """Rows of a PE-consuming weight matrix: [x(3), sin(kc), cos(kc)];
-        rows past 3+2kc are the static zero-padding of embed_padded and
-        multiply zeros — dropped. n_freqs == 0 (the reference's shipped
-        init_nerf/init_nof quirk: RAW xyz zero-padded to in_channels_xyz)
-        runs the kernel as a synthetic 1-freq spec whose sin/cos rows are
-        constant zeros — Mosaic rejects 0-width vector loads, and the
-        constants give the pad rows exactly the zero gradient the true
-        model's zero inputs give them (the VJP through this fold drops
-        their cotangents)."""
+        """PE-consuming weight matrix, packed as ONE (3+2kc, W) operand:
+        [x(3); sin(kc); cos(kc)] rows concatenated — the kernels contract
+        it against the concatenated (3+2kc, T) embedding in a single MXU
+        pass (three tiny-K dots measured ~30% slower per stage,
+        scripts/probe_pe_pack.py, round 5). Rows past 3+2kc are the static
+        zero-padding of embed_padded and multiply zeros — dropped.
+        n_freqs == 0 (the reference's shipped init_nerf/init_nof quirk:
+        RAW xyz zero-padded to in_channels_xyz) runs the kernel as a
+        synthetic 1-freq spec whose sin/cos weight rows are constant
+        zeros — Mosaic rejects 0-width vector loads, and the constants
+        give the pad rows exactly the zero gradient the true model's zero
+        inputs give them (the VJP through this fold drops their
+        cotangents)."""
         if kc == 0:
-            z = jnp.zeros((3, w.shape[-1]), w.dtype)
-            return [w[:3], z, z]
+            z = jnp.zeros((6, w.shape[-1]), w.dtype)
+            return [jnp.concatenate([w[:3], z], axis=0)]
         wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
         if w_rep is not None:
             wsin = wsin * w_rep
             wcos = wcos * w_rep
-        return [wx, wsin, wcos]
+        return [jnp.concatenate([wx, wsin, wcos], axis=0)]
 
     in_ch = cfg.in_channels_xyz
     for i, layer in enumerate(params["trunk"]):
@@ -328,21 +332,22 @@ def _nerf_tile(x, p_e, ws, spec: _NerfSpec, b_mat, rs=None):
                                    preferred_element_type=jnp.float32)
     sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
     xb_t = x.astype(dt)
-    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
+    # packed PE embedding (3+2kc, T): ONE K=3+2kc MXU pass per PE layer
+    # against the fold's concatenated weight (probe_pe_pack.py round 5:
+    # the three tiny-K dots cost ~a full pass each)
+    e_t = jnp.concatenate([xb_t, sin_t.astype(dt), cos_t.astype(dt)],
+                          axis=0)
 
     acts = []
     it = iter(ws)
     h = None
     for i in range(spec.depth):
         if i == 0:
-            wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
-                 + _dot_pe(cb_t, wcos, dt) + b.astype(jnp.float32))
+            wpe, b = next(it), next(it)
+            z = _dot_pe(e_t, wpe, dt) + b.astype(jnp.float32)
         elif i in spec.skips:
-            wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
-                                     next(it))
-            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
-                 + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
+            wpe, wh, b = next(it), next(it), next(it)
+            z = (_dot_pe(e_t, wpe, dt) + _dot(h, wh, dt)
                  + b.astype(jnp.float32))
         else:
             w, b = next(it), next(it)
@@ -449,13 +454,14 @@ def _nerf_bwd_tile(x_t, p_e, ws, g_t, spec: _NerfSpec, b_mat, r, s):
     _, (sin_t, cos_t, acts, hf, he, rgb_t) = _nerf_tile(x_t, p_e, ws, spec,
                                                         b_mat)
     xb_t = x_t.astype(dt)
-    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
+    eb_t = jnp.concatenate([xb_t, sin_t.astype(dt), cos_t.astype(dt)],
+                           axis=0)                    # (3+2kc, T) packed PE
 
     it = iter(ws)
     layers = []  # (kind, weights...) aligned with ws order
     for i in range(spec.depth):
         if i == 0 or i in spec.skips:
-            entry = [next(it) for _ in range(5 if i in spec.skips else 4)]
+            entry = [next(it) for _ in range(3 if i in spec.skips else 2)]
             layers.append(("pe_skip" if i in spec.skips else "pe", entry))
         else:
             layers.append(("plain", [next(it), next(it)]))
@@ -505,9 +511,7 @@ def _nerf_bwd_tile(x_t, p_e, ws, g_t, spec: _NerfSpec, b_mat, r, s):
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dws["bsig"] = jnp.sum(dsigma_t, axis=1, keepdims=True)
 
-    dx_t = jnp.zeros_like(x_t)
-    dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
-    dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
+    de_t = jnp.zeros((eb_t.shape[0], eb_t.shape[1]), jnp.float32)
     dlayers = [None] * spec.depth
     for i in range(spec.depth - 1, -1, -1):
         kind, entry = layers[i]
@@ -520,23 +524,20 @@ def _nerf_bwd_tile(x_t, p_e, ws, g_t, spec: _NerfSpec, b_mat, r, s):
             dh = _dot_nt(dz, w, dt).astype(jnp.float32)
         else:
             if kind == "pe_skip":
-                wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
-                              _dot_pe_t(sb_t, dz, dt),
-                              _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
+                wpe, wh, _ = entry
+                dlayers[i] = [_dot_pe_t(eb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
-                wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
-                              _dot_pe_t(sb_t, dz, dt),
-                              _dot_pe_t(cb_t, dz, dt), db]
+                wpe, _ = entry
+                dlayers[i] = [_dot_pe_t(eb_t, dz, dt), db]
                 dh = None
-            dx_t = dx_t + _dot_pe_x(wx, dz, dt)
-            dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
-            dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
+            de_t = de_t + _dot_pe_x(wpe, dz, dt)
+    # split the packed-embedding cotangent back into x / sin / cos rows;
     # PE chain (transposed): d(scaled_t) = dsin_t*cos_t - dcos_t*sin_t;
     # dx_t (3, T) += B^T @ dscaled_t — one dot_general, no transposes
-    dscaled_t = dsin_t * cos_t - dcos_t * sin_t
+    kcz = sin_t.shape[0]
+    dx_t = de_t[0:3]
+    dscaled_t = de_t[3:3 + kcz] * cos_t - de_t[3 + kcz:] * sin_t
     dx_t = dx_t + jax.lax.dot_general(
         b_mat, dscaled_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -733,14 +734,15 @@ def _nof_fold(params: dict, cfg: NoFConfig, n_freqs: int,
         w_rep = jnp.repeat(anneal, 3, total_repeat_length=kc)[:, None]
 
     def pe_rows(w):
+        # packed single (3+2kc, W) PE weight — see _nerf_fold.pe_rows
         if kc == 0:  # raw-xyz quirk — see _nerf_fold.pe_rows
-            z = jnp.zeros((3, w.shape[-1]), w.dtype)
-            return [w[:3], z, z]
+            z = jnp.zeros((6, w.shape[-1]), w.dtype)
+            return [jnp.concatenate([w[:3], z], axis=0)]
         wx, wsin, wcos = w[:3], w[3:3 + kc], w[3 + kc:3 + 2 * kc]
         if w_rep is not None:
             wsin = wsin * w_rep
             wcos = wcos * w_rep
-        return [wx, wsin, wcos]
+        return [jnp.concatenate([wx, wsin, wcos], axis=0)]
 
     cx, ce = cfg.in_channels_xyz, cfg.extra_feat_dim
     ws, partials = [], []
@@ -828,7 +830,10 @@ def _nof_tile(x_t, partials, ws, spec: _NofSpec, b_mat):
                                    preferred_element_type=jnp.float32)
     sin_t, cos_t = jnp.sin(scaled_t), jnp.cos(scaled_t)
     xb_t = x_t.astype(dt)
-    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
+    # packed PE embedding — one K=3+2kc MXU pass per PE layer (see
+    # _nerf_tile / probe_pe_pack.py)
+    e_t = jnp.concatenate([xb_t, sin_t.astype(dt), cos_t.astype(dt)],
+                          axis=0)
 
     acts = []
     it = iter(ws)
@@ -836,15 +841,12 @@ def _nof_tile(x_t, partials, ws, spec: _NofSpec, b_mat):
     h = None
     for i in range(spec.depth):
         if i == 0:
-            wx, wsin, wcos, b = next(it), next(it), next(it), next(it)
-            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
-                 + _dot_pe(cb_t, wcos, dt)
+            wpe, b = next(it), next(it)
+            z = (_dot_pe(e_t, wpe, dt)
                  + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         elif i in spec.skips:
-            wx, wsin, wcos, wh, b = (next(it), next(it), next(it), next(it),
-                                     next(it))
-            z = (_dot_pe(xb_t, wx, dt) + _dot_pe(sb_t, wsin, dt)
-                 + _dot_pe(cb_t, wcos, dt) + _dot(h, wh, dt)
+            wpe, wh, b = next(it), next(it), next(it)
+            z = (_dot_pe(e_t, wpe, dt) + _dot(h, wh, dt)
                  + next(pit).astype(jnp.float32) + b.astype(jnp.float32))
         else:
             w, b = next(it), next(it)
@@ -924,15 +926,16 @@ def _nof_bwd_tile(x_t, partials, ws, g_t, spec: _NofSpec, b_mat, r, s,
         _, res = _nof_tile(x_t, partials, ws, spec, b_mat)
     sin_t, cos_t, acts, _, qres = res
     xb_t = x_t.astype(dt)
-    sb_t, cb_t = sin_t.astype(dt), cos_t.astype(dt)
+    eb_t = jnp.concatenate([xb_t, sin_t.astype(dt), cos_t.astype(dt)],
+                           axis=0)                    # (3+2kc, T) packed PE
 
     it = iter(ws)
     layers = []
     for i in range(spec.depth):
         if i == 0:
-            layers.append(("pe", [next(it) for _ in range(4)]))
+            layers.append(("pe", [next(it) for _ in range(2)]))
         elif i in spec.skips:
-            layers.append(("pe_skip", [next(it) for _ in range(5)]))
+            layers.append(("pe_skip", [next(it) for _ in range(3)]))
         else:
             layers.append(("plain", [next(it), next(it)]))
     whead, bhead = next(it), next(it)
@@ -962,9 +965,7 @@ def _nof_bwd_tile(x_t, partials, ws, g_t, spec: _NofSpec, b_mat, r, s,
                                  preferred_element_type=jnp.float32)
 
     dlayers = [None] * spec.depth
-    # count pe layers first: one partial slot per PE-consuming layer
-    dsin_t = jnp.zeros(sin_t.shape, jnp.float32)
-    dcos_t = jnp.zeros(cos_t.shape, jnp.float32)
+    de_t = jnp.zeros((eb_t.shape[0], eb_t.shape[1]), jnp.float32)
     # pe layers in forward order, one per-ray partial slot each
     pe_order = [i for i in range(spec.depth)
                 if i == 0 or i in spec.skips]
@@ -980,24 +981,22 @@ def _nof_bwd_tile(x_t, partials, ws, g_t, spec: _NofSpec, b_mat, r, s,
             dh = _dot_nt(dz, w, dt).astype(jnp.float32)
         else:
             if kind == "pe_skip":
-                wx, wsin, wcos, wh, _ = entry
-                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
-                              _dot_pe_t(sb_t, dz, dt),
-                              _dot_pe_t(cb_t, dz, dt), _dot_t(h_in, dz), db]
+                wpe, wh, _ = entry
+                dlayers[i] = [_dot_pe_t(eb_t, dz, dt), _dot_t(h_in, dz), db]
                 dh = _dot_nt(dz, wh, dt).astype(jnp.float32)
             else:
-                wx, wsin, wcos, _ = entry
-                dlayers[i] = [_dot_pe_t(xb_t, dz, None),
-                              _dot_pe_t(sb_t, dz, dt),
-                              _dot_pe_t(cb_t, dz, dt), db]
+                wpe, _ = entry
+                dlayers[i] = [_dot_pe_t(eb_t, dz, dt), db]
                 dh = None
             dpartials[pe_order.index(i)] = jnp.sum(
                 dz.astype(jnp.float32).reshape(r, s, -1), axis=1,
                 keepdims=True)
-            dx_t = dx_t + _dot_pe_x(wx, dz, dt)
-            dsin_t = dsin_t + _dot_pe_x(wsin, dz, dt)
-            dcos_t = dcos_t + _dot_pe_x(wcos, dz, dt)
-    dscaled_t = dsin_t * cos_t - dcos_t * sin_t
+            de_t = de_t + _dot_pe_x(wpe, dz, dt)
+    # split the packed-embedding cotangent: x rows add to dx_t, sin/cos
+    # rows chain through the PE trig (see _nerf_bwd_tile)
+    kcz = sin_t.shape[0]
+    dx_t = dx_t + de_t[0:3]
+    dscaled_t = de_t[3:3 + kcz] * cos_t - de_t[3 + kcz:] * sin_t
     dx_t = dx_t + jax.lax.dot_general(
         b_mat, dscaled_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -109,6 +109,10 @@ def dp_jit(make_step: Callable[[str | None], Callable], mesh: Mesh | None,
     """
     if mesh is None or np.prod(mesh.devices.shape) == 1:
         return jax.jit(make_step(None), donate_argnums=donate_argnums)
+    # check_vma=False: the fused Pallas kernels' out_shape structs carry no
+    # varying-mesh-axes annotation, and jax's static vma lint rejects them
+    # under shard_map; the collective structure is still exercised (psum)
+    # and fused==xla inside dp_jit is asserted by tests/test_render_dp.py
     step = shard_map(make_step(DATA_AXIS), mesh=mesh,
-                     in_specs=P(), out_specs=P())
+                     in_specs=P(), out_specs=P(), check_vma=False)
     return jax.jit(step, donate_argnums=donate_argnums)

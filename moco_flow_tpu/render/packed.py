@@ -46,8 +46,10 @@ import jax.numpy as jnp
 from .volume import RenderConfig, render_rays
 
 SEG = 16384      # render segment rows: measured-fastest chunk (PERF.md)
-WINDOW = 8       # in-flight view slots in the scatter-target buffer
-SYNC_EVERY = 4   # views per batched kept-count readback
+WINDOW = 16      # in-flight view slots in the scatter-target buffer
+SYNC_EVERY = 8   # views per batched kept-count sync (8 measured +22% on
+                 # the exact+occ leg vs 4 — fewer sync points = fewer
+                 # dispatch-stall windows on the tunneled backend)
 
 
 @dataclasses.dataclass
@@ -126,16 +128,22 @@ class PackedStream:
             count = jnp.sum(keep.astype(jnp.int32))
             return buf, dest, fill + count
 
-        def init_slot(out_rgb, out_depth, out_opa, bg_img, slot):
-            """Non-kept rays of the slot's view: background / depth 10 /
-            opacity 0 (ref trainer_moco_flow.py:226-268 semantics)."""
-            out_rgb = jax.lax.dynamic_update_slice(out_rgb, bg_img,
+        def admit(buf, dest, fill, rays, keep, bg, out_rgb, out_depth,
+                  out_opa, slot):
+            """ONE dispatch per admitted view: slot init (non-kept rays ->
+            background / depth 10 / opacity 0, ref trainer_moco_flow.py:
+            226-268 semantics) + the kept-ray append. Fused because each
+            jitted dispatch costs ~10+ ms of host time on the tunneled
+            backend (PERF.md round 5) — two calls per view was the
+            second-largest glue term after the count sync."""
+            out_rgb = jax.lax.dynamic_update_slice(out_rgb, bg,
                                                    (slot * n, 0))
             out_depth = jax.lax.dynamic_update_slice(
                 out_depth, jnp.full((n,), 10.0, jnp.float32), (slot * n,))
             out_opa = jax.lax.dynamic_update_slice(
                 out_opa, jnp.zeros((n,), jnp.float32), (slot * n,))
-            return out_rgb, out_depth, out_opa
+            buf, dest, fill = append(buf, dest, fill, rays, keep, bg, slot)
+            return buf, dest, fill, out_rgb, out_depth, out_opa
 
         def make_drain(sz: int):
             def drain(params, anneal, buf, dest, fill, out_rgb, out_depth,
@@ -170,8 +178,7 @@ class PackedStream:
             o = jax.lax.dynamic_slice(out_opa, (slot * n,), (n,))
             return r, dd, o
 
-        fns = {"append": jax.jit(append), "init": jax.jit(init_slot),
-               "slice": jax.jit(slice_view),
+        fns = {"admit": jax.jit(admit), "slice": jax.jit(slice_view),
                "drain": {sz: make_drain(sz) for sz in self.sizes}}
         cache[key_] = fns
         return fns
@@ -197,13 +204,11 @@ class PackedStream:
         bg = jnp.broadcast_to(
             jnp.asarray(background if background is not None else 1.0,
                         jnp.float32), (self.n, 3))
-        self._out_rgb, self._out_depth, self._out_opa = fns["init"](
-            self._out_rgb, self._out_depth, self._out_opa, bg,
-            jnp.int32(slot))
-        self._buf, self._dest, self._fill_dev = fns["append"](
+        (self._buf, self._dest, self._fill_dev, self._out_rgb,
+         self._out_depth, self._out_opa) = fns["admit"](
             self._buf, self._dest, self._fill_dev,
             jnp.asarray(rays, jnp.float32), jnp.asarray(keep), bg,
-            jnp.int32(slot))
+            self._out_rgb, self._out_depth, self._out_opa, jnp.int32(slot))
         if not fns.get("_warmed"):
             # compile EVERY drain size now, on the first real view's rows
             # (fill=0 masks all scatters; outputs are discarded). A short
@@ -220,6 +225,15 @@ class PackedStream:
         view = _View(slot=slot, end=None)
         self._views.append(view)
         self._pending.append((view, count))
+        # start the kept-count D2H NOW: by the batched _sync the scalar has
+        # ridden the tunnel behind the drains already dispatched, so the
+        # sync's np.asarray finds it on host instead of paying the ~28 ms
+        # round trip while the device queue runs dry
+        if hasattr(count, "copy_to_host_async"):
+            try:
+                count.copy_to_host_async()
+            except Exception:
+                pass  # non-jax count (host int) or backend w/o async D2H
         self._n_views += 1
         if len(self._pending) >= self.b:
             self._sync(fns)
@@ -240,8 +254,9 @@ class PackedStream:
         re-seat the device append offset (drains shifted the buffer)."""
         if not self._pending:
             return
-        counts = np.asarray(jnp.stack(
-            [jnp.asarray(c, jnp.int32) for _, c in self._pending]))
+        # each count's D2H was issued async at add_view; these np.asarray
+        # calls find the values already on host (or pay one residual wait)
+        counts = [int(np.asarray(c)) for _, c in self._pending]
         for (view, _), c in zip(self._pending, counts):
             self.fill += int(c)
             self.pos += int(c)

@@ -248,7 +248,7 @@ class BaseTrainer:
                 fn = jax.jit(shard_map(
                     body, mesh=mesh,
                     in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-                    out_specs=P(DATA_AXIS)))
+                    out_specs=P(DATA_AXIS), check_vma=False))
             else:
                 fn = jax.jit(body)
             self._render_fns[key_] = fn

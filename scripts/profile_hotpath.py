@@ -36,6 +36,31 @@ def trace_once(mode: str, steps: int, dtype: str, impl: str, n_rand: int,
                                 os.path.join(tmp, "log"), dtype, impl,
                                 mesh=None, n_rand=n_rand,
                                 fine_budget=fine_budget)
+        if mode == "occ_exact":
+            # the round-5 headline axis (bench.py::_occ_axes exact-sampling
+            # + occ-skip + packed stream, occ_tighten 0): where does the
+            # 774k-vs-930k-bound per-view overhead live? Teacher field, no
+            # student; reference sample counts.
+            import jax.numpy as jnp
+            from bench_occupancy import distill_sharp_field, time_render
+            trainer.config.raw["model"]["occ_res"] = 192
+            trainer.config.raw["model"]["occ_tighten"] = 0
+            distill_sharp_field(trainer, trainer.smpl_data, steps=250)
+            jax.block_until_ready(trainer.params)
+            trainer.occupancy_grid(0)
+            ds = trainer.val_dataset
+            rays, _ = ds.frame_rays(0)
+            bg = jnp.ones((rays.shape[0], 3))
+            import dataclasses
+            rcfg = dataclasses.replace(trainer.rcfg_test, fine_budget=0,
+                                       coarse_probe=0)
+            time_render(trainer, rays, bg, rcfg, 2, tighten_frame=0,
+                        ray_skip=True)  # compile outside the trace
+            t0 = time.perf_counter()
+            with jax.profiler.trace(trace_dir):
+                time_render(trainer, rays, bg, rcfg, steps, tighten_frame=0,
+                            ray_skip=True)
+            return time.perf_counter() - t0
         if mode == "occ_student":
             # reproduce the bench's glue-bound axis (bench.py::_occ_axes):
             # distilled sharp field -> 4x128 student -> occupancy grid ->
@@ -140,7 +165,7 @@ def summarize(trace_dir: str, top_k: int = 40, wall_s: float = 0.0) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="render",
-                    choices=["train", "render", "occ_student"])
+                    choices=["train", "render", "occ_student", "occ_exact"])
     ap.add_argument("--student", default="4x128")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")

@@ -31,7 +31,9 @@ def test_fused_kernels_under_shard_map(tmp_path):
 
     tf = trainer_for("fused", "fused8")
     tx = trainer_for("xla", "xla8")
-    tx.params = jax.tree.map(jnp.asarray, tf.params)  # identical init
+    # identical init — a REAL copy: tf's donated train steps delete its
+    # initial param buffers, and jnp.asarray would alias them
+    tx.params = jax.tree.map(lambda x: jnp.array(x, copy=True), tf.params)
     assert tf.world_size == 8 and tf.rcfg_train.mlp_impl == "fused"
 
     def run(tr, n):
