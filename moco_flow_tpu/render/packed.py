@@ -37,6 +37,7 @@ in the trainer's ``_render_fns`` dict so they persist across streams.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -75,6 +76,17 @@ class PackedStream:
         self.seg = int(seg)
         self.w = int(window)
         self.b = max(int(sync_every), 1)
+        # cap the un-synced append backlog by BYTES, not view count: the
+        # packed buffer holds b views of n rows x (rc+3) f32, and a video
+        # frame at production scale (1M+ rays) with the default b=8/w=16
+        # allocated ~1.3 GB (+ roll temporaries) and RESOURCE_EXHAUSTED the
+        # shared chip (round-5 bench). Big views sync a little more often;
+        # the async count reads keep that cheap.
+        view_bytes = self.n * (self.rc + 3) * 4
+        max_bytes = int(os.environ.get("MOCO_PACK_BYTES",
+                                       400 * 1024 * 1024))
+        self.b = max(1, min(self.b, max_bytes // max(view_bytes, 1)))
+        self.w = min(self.w, max(2 * self.b, 4))
         self.key = key if key is not None else jax.random.key(0)
         # room for one full segment's backlog plus up to ``sync_every``
         # un-synced appends of n rows each
